@@ -1,0 +1,297 @@
+"""Batched, matrix-free ADMM QP solver (OSQP-compatible semantics).
+
+Solves, entirely on-device and vmappable over scenarios,
+
+    min  ||x||^2   s.t.   l <= A x <= u
+
+where A is the stacked constraint operator of ``ops.constraints`` (never
+materialized).  This replaces the reference's per-iteration
+``osqp.OSQP().setup(...).solve()`` calls
+(``/root/reference/src/path_planning/solvers/scp.py:326-369, 441-447``) with a
+first-party solver whose fixed-point matches OSQP's ADMM iteration:
+
+    x~ = argmin ||x||^2 + sigma/2 ||x - x_k||^2 + rho/2 ||A x - z_k + y_k/rho||^2
+    x_{k+1} = alpha x~ + (1-alpha) x_k
+    z_{k+1} = Pi_[l,u]( alpha A x~ + (1-alpha) z_k + y_k / rho )
+    y_{k+1} = y_k + rho (alpha A x~ + (1-alpha) z_k - z_{k+1})
+
+The x-update linear system  (2 + sigma) x + A^T diag(rho) A x = b  is solved
+by preconditioned CG.  The preconditioner exploits problem structure: the
+static blocks (jerk/acc/vel/pos) act independently per (vehicle, axis) with an
+identical K x K normal matrix, so its dense inverse — computed once per
+(K, h, rho) in float64 on the host — is an *exact* inverse of the
+collision-free system.  CG then only has to correct for the collision rows.
+A single batched (…, K) x (K, K) matmul applies it (MXU work).
+
+Termination follows OSQP: eps_abs/eps_rel on primal residual ||Ax - z||_inf
+and dual residual ||P x + q + A^T y||_inf, checked every ``check_interval``
+iterations inside a ``lax.while_loop``.  Per-row rho: equality rows
+(l == u) get ``rho_eq_scale * rho``; disabled collision rows (mask 0) get a
+negligible rho so they cannot perturb the solve.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.constraints import (ConstraintBlocks, apply_static,
+                               apply_static_adjoint, apply_collision,
+                               apply_collision_adjoint)
+from ..utils.config import SolverConfig
+
+_LOOSE_RHO = 1e-6   # rho on disabled (±inf) rows; OSQP's RHO_MIN
+
+
+class QPData(NamedTuple):
+    """Per-scenario problem data for one QP solve (shapes per scenario)."""
+    eta: jnp.ndarray           # (K, P, 2) collision directions
+    col_mask: jnp.ndarray      # () or broadcastable — 1.0 enables collision rows
+    lower: ConstraintBlocks
+    upper: ConstraintBlocks
+
+
+class QPState(NamedTuple):
+    x: jnp.ndarray             # (N, K, 2) accelerations
+    z: ConstraintBlocks
+    y: ConstraintBlocks
+    iters: jnp.ndarray         # () int32 — iterations actually run
+    prim_res: jnp.ndarray      # () residual at last check
+    dual_res: jnp.ndarray
+    converged: jnp.ndarray     # () bool
+
+
+# ---------------------------------------------------------------------------
+# Preconditioner: exact inverse of the static-block normal matrix
+# ---------------------------------------------------------------------------
+
+def build_static_normal_inverse(n_steps: int, h: float, cfg: SolverConfig,
+                                dtype=jnp.float32) -> jnp.ndarray:
+    """(K, K) dense inverse of  (2 + sigma) I + sum_b C_b^T diag(rho_b) C_b.
+
+    Identical for every vehicle, axis, and scenario (the static operators are
+    block-diagonal copies of the same K x K matrices; terminal rows of the
+    vel/pos blocks are equalities and carry rho_eq_scale * rho).  Computed in
+    float64 numpy once per (K, h, solver-config); cast to ``dtype``.
+    """
+    K = n_steps
+    rho = cfg.rho
+    rho_eq = cfg.rho_eq_scale * rho
+
+    J = np.zeros((K - 1, K))
+    for k in range(K - 1):
+        J[k, k] = -1.0 / h
+        J[k, k + 1] = 1.0 / h
+    T = np.tril(np.ones((K, K))) * h
+    S = np.zeros((K, K))
+    for k in range(K):
+        for j in range(k + 1):
+            S[k, j] = h * h * (k - j + 0.5)
+
+    rho_rows = np.full(K, rho)
+    rho_rows[K - 1] = rho_eq          # terminal equality row
+
+    M = (2.0 + cfg.sigma) * np.eye(K)
+    M += J.T * rho @ J
+    M += np.eye(K) * rho              # acceleration box rows
+    M += T.T @ np.diag(rho_rows) @ T
+    M += S.T @ np.diag(rho_rows) @ S
+    Minv = np.linalg.inv(M)
+    return jnp.asarray(Minv, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Operator plumbing
+# ---------------------------------------------------------------------------
+
+def _apply_A(x, eta, E, h, col_mask) -> ConstraintBlocks:
+    jerk, acc, vel, pos = apply_static(x, h)
+    col = apply_collision(x, eta, E, h) * col_mask
+    return ConstraintBlocks(jerk=jerk, acc=acc, vel=vel, pos=pos, col=col)
+
+
+def _apply_AT(y: ConstraintBlocks, eta, E, h, col_mask):
+    out = apply_static_adjoint(y.jerk, y.acc, y.vel, y.pos, h)
+    return out + apply_collision_adjoint(y.col * col_mask, eta, E, h)
+
+
+def _rho_blocks(data: QPData, cfg: SolverConfig, rho: jnp.ndarray) -> ConstraintBlocks:
+    """Per-row rho: equality rows boosted, disabled collision rows ~ zeroed.
+
+    ``rho`` is a traced scalar (adaptive); the equality/loose pattern is static.
+    """
+    def block_rho(lo, up):
+        eq = (lo == up)
+        return jnp.where(eq, cfg.rho_eq_scale * rho, rho)
+
+    d = data
+    col_rho = jnp.where(d.col_mask > 0, rho, _LOOSE_RHO)
+    col_rho = jnp.broadcast_to(col_rho, d.lower.col.shape)
+    return ConstraintBlocks(
+        jerk=block_rho(d.lower.jerk, d.upper.jerk),
+        acc=block_rho(d.lower.acc, d.upper.acc),
+        vel=block_rho(d.lower.vel, d.upper.vel),
+        pos=block_rho(d.lower.pos, d.upper.pos),
+        col=col_rho,
+    )
+
+
+def _tmap(f, *ts):
+    return jax.tree.map(f, *ts)
+
+
+def _inf_norm(t) -> jnp.ndarray:
+    leaves = jax.tree.leaves(_tmap(lambda v: jnp.max(jnp.abs(v)), t))
+    return jnp.max(jnp.stack(leaves))
+
+
+def _precond_apply(Minv: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """r: (..., N, K, 2) -> Minv applied along the K axis."""
+    return jnp.einsum('kl,...nlc->...nkc', Minv, r,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+# ---------------------------------------------------------------------------
+# PCG x-update
+# ---------------------------------------------------------------------------
+
+def _solve_xupdate(b, x0, eta, E, h, rho: ConstraintBlocks, sigma, Minv, cfg):
+    """Solve  (2 + sigma) x + A^T diag(rho) A x = b  by PCG from x0."""
+
+    def matvec(v):
+        Av = _apply_A(v, eta, E, h, 1.0)   # masking folded into rho
+        rAv = _tmap(lambda a, r: a * r, Av, rho)
+        return (2.0 + sigma) * v + _apply_AT(rAv, eta, E, h, 1.0)
+
+    r0 = b - matvec(x0)
+    z0 = _precond_apply(Minv, r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0).real.astype(b.dtype)
+    b_norm2 = jnp.vdot(b, b).real.astype(b.dtype)
+    tol2 = (cfg.cg_tol ** 2) * jnp.maximum(b_norm2, 1e-30)
+
+    def body(carry):
+        x, r, p, rz, it = carry
+        Ap = matvec(p)
+        denom = jnp.vdot(p, Ap).real.astype(b.dtype)
+        alpha = rz / jnp.maximum(denom, 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = _precond_apply(Minv, r)
+        rz_new = jnp.vdot(r, z).real.astype(b.dtype)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return x, r, p, rz_new, it + 1
+
+    def cond(carry):
+        x, r, p, rz, it = carry
+        r2 = jnp.vdot(r, r).real.astype(b.dtype)
+        return jnp.logical_and(it < cfg.cg_iters, r2 > tol2)
+
+    x, r, _, _, it = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0,
+                                                     jnp.int32(0)))
+    return x, it
+
+
+# ---------------------------------------------------------------------------
+# Main solve
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("h", "cfg"))
+def solve_qp(data: QPData, E: jnp.ndarray, Minv: jnp.ndarray, x_init,
+             *, h: float, cfg: SolverConfig) -> QPState:
+    """One full ADMM solve for a single scenario (vmap over scenarios outside).
+
+    x_init: (N, K, 2) warm-start accelerations (reference warm-starts the
+    primal only, scp.py:443; we also seed z = A x_init which only helps).
+    """
+    dtype = x_init.dtype
+    eta = data.eta
+    sigma = jnp.asarray(cfg.sigma, dtype)
+    alpha = jnp.asarray(cfg.alpha, dtype)
+    rho0 = jnp.asarray(cfg.rho, dtype)
+
+    Ax0 = _apply_A(x_init, eta, E, h, data.col_mask)
+    z0 = _tmap(jnp.clip, Ax0, data.lower, data.upper)
+    y0 = _tmap(jnp.zeros_like, z0)
+
+    def admm_iter(x, z, y, rho_blocks):
+        # x-update rhs: sigma x - q + A^T (rho z - y)
+        rzy = _tmap(lambda zz, yy, rr: rr * zz - yy, z, y, rho_blocks)
+        b = sigma * x + _apply_AT(rzy, eta, E, h, 1.0)
+        x_tilde, _ = _solve_xupdate(b, x, eta, E, h, rho_blocks, sigma, Minv,
+                                    cfg)
+        x_new = alpha * x_tilde + (1.0 - alpha) * x
+        Ax_tilde = _apply_A(x_tilde, eta, E, h, data.col_mask)
+        z_relaxed = _tmap(lambda azt, zz: alpha * azt + (1.0 - alpha) * zz,
+                          Ax_tilde, z)
+        z_new = _tmap(lambda zr, yy, rr, lo, up:
+                      jnp.clip(zr + yy / rr, lo, up),
+                      z_relaxed, y, rho_blocks, data.lower, data.upper)
+        y_new = _tmap(lambda yy, zr, zn, rr: yy + rr * (zr - zn),
+                      y, z_relaxed, z_new, rho_blocks)
+        return x_new, z_new, y_new
+
+    def residuals(x, z, y):
+        Ax = _apply_A(x, eta, E, h, data.col_mask)
+        prim = _inf_norm(_tmap(lambda a, b_: a - b_, Ax, z))
+        dual_vec = 2.0 * x + _apply_AT(y, eta, E, h, data.col_mask)
+        dual = jnp.max(jnp.abs(dual_vec))
+        prim_scale = jnp.maximum(_inf_norm(Ax), _inf_norm(z))
+        ATy = _apply_AT(y, eta, E, h, data.col_mask)
+        dual_scale = jnp.maximum(jnp.max(jnp.abs(2.0 * x)),
+                                 jnp.max(jnp.abs(ATy)))
+        eps_prim = cfg.eps_abs + cfg.eps_rel * prim_scale
+        eps_dual = cfg.eps_abs + cfg.eps_rel * dual_scale
+        done = jnp.logical_and(prim <= eps_prim, dual <= eps_dual)
+        return prim, dual, done
+
+    n_outer = cfg.max_iter // cfg.check_interval
+
+    def outer_body(carry):
+        x, z, y, rho, it, prim, dual, done = carry
+        rho_b = _rho_blocks(data, cfg, rho)
+
+        def inner(i, xzys):
+            x_, z_, y_ = xzys
+            return admm_iter(x_, z_, y_, rho_b)
+
+        x, z, y = jax.lax.fori_loop(0, cfg.check_interval, inner, (x, z, y))
+        prim, dual, done = residuals(x, z, y)
+
+        # OSQP-style adaptive rho: rescale by sqrt of residual ratio.
+        if cfg.adaptive_rho:
+            Ax = _apply_A(x, eta, E, h, data.col_mask)
+            prim_scale = jnp.maximum(_inf_norm(Ax), _inf_norm(z))
+            ATy = _apply_AT(y, eta, E, h, data.col_mask)
+            dual_scale = jnp.maximum(jnp.max(jnp.abs(2.0 * x)),
+                                     jnp.max(jnp.abs(ATy)))
+            pr = prim / jnp.maximum(prim_scale, 1e-10)
+            dr = dual / jnp.maximum(dual_scale, 1e-10)
+            ratio = jnp.sqrt(pr / jnp.maximum(dr, 1e-12))
+            new_rho = jnp.clip(rho * ratio, 1e-6, 1e6)
+            # only adapt on large imbalance (OSQP: factor 5); rescale y.
+            adapt = jnp.logical_or(ratio > 5.0, ratio < 0.2)
+            new_rho = jnp.where(adapt, new_rho, rho)
+            scale = new_rho / rho
+            y = _tmap(lambda v: v * scale, y)
+            rho = new_rho
+
+        return x, z, y, rho, it + cfg.check_interval, prim, dual, done
+
+    def outer_cond(carry):
+        *_, it, prim, dual, done = carry
+        return jnp.logical_and(it < cfg.max_iter, jnp.logical_not(done))
+
+    init = (x_init, z0, y0, rho0, jnp.int32(0),
+            jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
+            jnp.asarray(False))
+    x, z, y, rho, it, prim, dual, done = jax.lax.while_loop(
+        outer_cond, outer_body, init)
+
+    return QPState(x=x, z=z, y=y, iters=it, prim_res=prim, dual_res=dual,
+                   converged=done)

@@ -1,0 +1,143 @@
+"""Configuration layer.
+
+The reference keeps its knobs in scattered inline dicts and hard-coded
+constants (``compute_trajectories_batch.py:14-24``, ``compute_trajectories.py:16-20``,
+``scp.py:32-74``) and ships an empty ``configs/`` TODO stub.  This module is
+the real config system: frozen dataclasses (hashable, so they can be passed
+as jit static args) plus YAML loading.
+
+Default values replicate the reference exactly (``scp.py:32-74``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any
+
+
+@dataclass(frozen=True)
+class Limits:
+    """State-space box limits (reference defaults at scp.py:63-74)."""
+    vel_min: float = -2.0
+    vel_max: float = 2.0
+    acc_min: float = -15.0
+    acc_max: float = 15.0
+    jerk_min: float = -20.0
+    jerk_max: float = 20.0
+    pos_min: tuple[float, float] = (0.0, 0.0)
+    pos_max: tuple[float, float] = (20.0, 20.0)
+
+
+@dataclass(frozen=True)
+class ProblemConfig:
+    """SCP problem definition (reference ctor signature, scp.py:31-49)."""
+    n_vehicles: int = 5
+    time_horizon: float = 3.0
+    time_step: float = 0.1
+    min_distance: float = 0.1
+    space_dims: tuple[float, float, float, float] = (0.0, 0.0, 20.0, 20.0)
+    max_iterations: int = 15
+    convergence_tolerance: float = 1.5e-2   # scp.py:52
+    vel_min: float = -2.0
+    vel_max: float = 2.0
+    acc_min: float = -15.0
+    acc_max: float = 15.0
+    jerk_min: float = -20.0
+    jerk_max: float = 20.0
+
+    @property
+    def n_steps(self) -> int:
+        """K = int(T/h), truncating exactly as scp.py:43."""
+        return int(self.time_horizon / self.time_step)
+
+    @property
+    def n_pairs(self) -> int:
+        return self.n_vehicles * (self.n_vehicles - 1) // 2
+
+    @property
+    def limits(self) -> Limits:
+        return Limits(vel_min=self.vel_min, vel_max=self.vel_max,
+                      acc_min=self.acc_min, acc_max=self.acc_max,
+                      jerk_min=self.jerk_min, jerk_max=self.jerk_max,
+                      pos_min=tuple(self.space_dims[:2]),
+                      pos_max=tuple(self.space_dims[2:]))
+
+    def replace(self, **kw) -> "ProblemConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Batched ADMM QP solver settings (OSQP-compatible defaults).
+
+    The reference delegates to OSQP with default settings plus
+    ``warm_start=True, max_iter=10000`` (scp.py:360, 442).
+    """
+    rho: float = 0.1
+    sigma: float = 1e-6
+    alpha: float = 1.6
+    eps_abs: float = 1e-3
+    eps_rel: float = 1e-3
+    max_iter: int = 4000
+    check_interval: int = 25         # residual check cadence
+    rho_eq_scale: float = 1e3        # OSQP: rho boost on equality rows
+    adaptive_rho: bool = True        # OSQP-style residual-balancing rho updates
+    cg_iters: int = 20               # PCG iterations for the x-update
+    cg_tol: float = 1e-7             # PCG relative tolerance (early exit)
+
+    def replace(self, **kw) -> "SolverConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def load_yaml(path: str) -> dict[str, Any]:
+    """Load a YAML config file (PyYAML if available, minimal parser otherwise)."""
+    try:
+        import yaml
+        with open(path) as f:
+            return yaml.safe_load(f)
+    except ImportError:
+        return _parse_simple_yaml(path)
+
+
+def _parse_simple_yaml(path: str) -> dict[str, Any]:
+    """Tiny fallback parser: flat and one-level-nested 'key: value' YAML."""
+    import ast
+    out: dict[str, Any] = {}
+    stack = [out]
+    indents = [0]
+    with open(path) as f:
+        for raw in f:
+            line = raw.split('#', 1)[0].rstrip()
+            if not line.strip():
+                continue
+            indent = len(line) - len(line.lstrip())
+            key, _, val = line.strip().partition(':')
+            val = val.strip()
+            while indent < indents[-1]:
+                stack.pop()
+                indents.pop()
+            if not val:
+                child: dict[str, Any] = {}
+                stack[-1][key] = child
+                stack.append(child)
+                indents.append(indent + 2)
+            else:
+                try:
+                    stack[-1][key] = ast.literal_eval(val)
+                except (ValueError, SyntaxError):
+                    stack[-1][key] = val
+    return out
+
+
+def problem_from_dict(d: dict[str, Any]) -> ProblemConfig:
+    fields = {f.name for f in dataclasses.fields(ProblemConfig)}
+    kw = {k: v for k, v in d.items() if k in fields}
+    if 'space_dims' in kw:
+        kw['space_dims'] = tuple(kw['space_dims'])
+    return ProblemConfig(**kw)
+
+
+def solver_from_dict(d: dict[str, Any]) -> SolverConfig:
+    fields = {f.name for f in dataclasses.fields(SolverConfig)}
+    return SolverConfig(**{k: v for k, v in d.items() if k in fields})

@@ -1,0 +1,5 @@
+# Root conftest: make tests/oracles importable as `oracles` in tests.
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent / "tests"))
