@@ -293,5 +293,102 @@ def solve_qp(data: QPData, E: jnp.ndarray, Minv: jnp.ndarray, x_init,
     x, z, y, rho, it, prim, dual, done = jax.lax.while_loop(
         outer_cond, outer_body, init)
 
+    if cfg.polish:
+        x, prim, dual = _polish(x, y, data, E, Minv, h=h, cfg=cfg,
+                                prim0=prim, dual0=dual)
+
     return QPState(x=x, z=z, y=y, iters=it, prim_res=prim, dual_res=dual,
                    converged=done)
+
+
+# ---------------------------------------------------------------------------
+# Polishing: exact solve on the detected active set (OSQP 'polish' analogue)
+# ---------------------------------------------------------------------------
+
+def _polish(x, y: ConstraintBlocks, data: QPData, E, Minv, *, h, cfg,
+            prim0, dual0):
+    """Refine x by solving  min ||x||^2  s.t.  A_act x = b_act  on the active set.
+
+    Active rows are detected from dual signs (y < 0 -> lower bound active,
+    y > 0 -> upper), as OSQP does.  The solution is
+    x* = A_act^T (A_act A_act^T)^(-1) b_act, computed matrix-free with CG on
+    the row space (delta-regularized).  The polished x is accepted only if it
+    improves the measured KKT residuals — otherwise the ADMM iterate stands.
+    """
+    dtype = x.dtype
+    eps_act = jnp.asarray(1e-10, dtype)
+
+    def act_mask(yv):
+        return (jnp.abs(yv) > eps_act).astype(dtype)
+
+    def act_bound(yv, lo, up):
+        b = jnp.where(yv < 0, lo, up)
+        return jnp.where(jnp.isfinite(b), b, 0.0)
+
+    mask = _tmap(act_mask, y)
+    # never activate disabled collision rows
+    mask = mask._replace(col=mask.col * jnp.broadcast_to(
+        data.col_mask, mask.col.shape).astype(dtype))
+    b_act = _tmap(act_bound, y, data.lower, data.upper)
+    b_act = _tmap(lambda b_, m: b_ * m, b_act, mask)
+
+    delta = jnp.asarray(1e-9, dtype)
+
+    def G(mu: ConstraintBlocks) -> ConstraintBlocks:
+        mu_m = _tmap(lambda v, m: v * m, mu, mask)
+        v = _apply_AT(mu_m, data.eta, E, h, 1.0)
+        Av = _apply_A(v, data.eta, E, h, 1.0)
+        return _tmap(lambda a, m, u_: a * m + delta * u_, Av, mask, mu)
+
+    def tdot(a, b_):
+        return jnp.sum(jnp.stack(jax.tree.leaves(
+            _tmap(lambda u_, v: jnp.vdot(u_, v).real.astype(dtype), a, b_))))
+
+    def cg(rhs, n_iters):
+        mu0 = _tmap(jnp.zeros_like, rhs)
+        r0 = rhs
+        p0 = r0
+        rr0 = tdot(r0, r0)
+
+        def body(_, carry):
+            mu, r, p, rr = carry
+            Gp = G(p)
+            al = rr / jnp.maximum(tdot(p, Gp), 1e-30)
+            mu = _tmap(lambda m_, p_: m_ + al * p_, mu, p)
+            r = _tmap(lambda r_, g_: r_ - al * g_, r, Gp)
+            rr_new = tdot(r, r)
+            beta = rr_new / jnp.maximum(rr, 1e-30)
+            p = _tmap(lambda z_, p_: z_ + beta * p_, r, p)
+            return mu, r, p, rr_new
+
+        mu, *_ = jax.lax.fori_loop(0, n_iters, body, (mu0, r0, p0, rr0))
+        return mu
+
+    mu = cg(b_act, cfg.polish_cg_iters)
+    # one step of iterative refinement against the unregularized system
+    resid = _tmap(lambda b_, g_: b_ - g_, b_act, G(mu))
+    mu = _tmap(lambda m_, d_: m_ + d_, mu, cg(resid, cfg.polish_cg_iters))
+
+    mu_m = _tmap(lambda v, m: v * m, mu, mask)
+    x_pol = _apply_AT(mu_m, data.eta, E, h, 1.0)
+
+    def kkt_residuals(xv, yv):
+        Ax = _apply_A(xv, data.eta, E, h, data.col_mask)
+        viol = _tmap(lambda a, lo, up: jnp.maximum(
+            jnp.maximum(jnp.where(jnp.isfinite(lo), lo - a, 0.0),
+                        jnp.where(jnp.isfinite(up), a - up, 0.0)), 0.0),
+            Ax, data.lower, data.upper)
+        prim = _inf_norm(viol)
+        dual = jnp.max(jnp.abs(2.0 * xv + _apply_AT(yv, data.eta, E, h,
+                                                    data.col_mask)))
+        return prim, dual
+
+    y_pol = _tmap(lambda m_: -2.0 * m_, mu_m)
+    prim_p, dual_p = kkt_residuals(x_pol, y_pol)
+    prim_u, dual_u = kkt_residuals(x, y)
+
+    better = jnp.logical_and(prim_p <= prim_u + 1e-12,
+                             dual_p <= dual_u + 1e-12)
+    x_out = jnp.where(better, x_pol, x)
+    return (x_out, jnp.where(better, prim_p, prim0),
+            jnp.where(better, dual_p, dual0))

@@ -85,6 +85,8 @@ class SolverConfig:
     adaptive_rho: bool = True        # OSQP-style residual-balancing rho updates
     cg_iters: int = 20               # PCG iterations for the x-update
     cg_tol: float = 1e-7             # PCG relative tolerance (early exit)
+    polish: bool = True              # active-set KKT polish after ADMM
+    polish_cg_iters: int = 40        # CG iterations for the polish solve
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)
