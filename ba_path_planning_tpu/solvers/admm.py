@@ -145,7 +145,8 @@ def _tmap(f, *ts):
 
 
 def _inf_norm(t) -> jnp.ndarray:
-    leaves = jax.tree.leaves(_tmap(lambda v: jnp.max(jnp.abs(v)), t))
+    # zero-size leaves (e.g. the collision block when N=1 -> P=0) contribute 0
+    leaves = [jnp.max(jnp.abs(v)) for v in jax.tree.leaves(t) if v.size > 0]
     return jnp.max(jnp.stack(leaves))
 
 

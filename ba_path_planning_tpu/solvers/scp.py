@@ -1,0 +1,290 @@
+"""Sequential Convex Programming engine — jitted functional core + class API.
+
+Control flow replicates the reference solver exactly
+(``/root/reference/src/path_planning/solvers/scp.py:131-180``):
+
+  1. solve the initial QP without collision rows            (scp.py:138)
+  2. roll out; if the initial guess is already collision-free, skip the
+     SCP loop entirely                                       (scp.py:144,152)
+  3. while iter < max_iterations and not converged (and not feasible):
+     re-linearize collisions about the previous iterate, re-solve the QP
+     warm-started at the previous accelerations, declare convergence when
+     ||a+ - a|| / ||a|| <= 1.5e-2                             (scp.py:152-166)
+  4. final rollout -> trajectories dict of (N, K, 2) arrays  (scp.py:168-180)
+
+TPU-native differences (SURVEY.md section 8): the loop is a
+``lax.while_loop`` inside one jitted program; collision rows exist from the
+start with fixed shape (K, P) and are enabled by a mask, so a single compiled
+executable serves both phases; the whole solve is vmappable over scenario
+batches; degenerate-pair directions come from a per-(scenario, iteration)
+PRNG fold instead of unseeded ``np.random`` (scp.py:505).
+
+Per-scenario failure handling carries status codes in the result instead of
+raising (a failed scenario must not kill a batch — mirroring the batch
+harness's isolation semantics, ``compute_trajectories_batch.py:50-54``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.collisions import (PairIndex, check_feasible, collision_lower_bounds,
+                              linearize, make_pair_index)
+from ..ops.constraints import ConstraintBlocks, static_bounds
+from ..ops.rollout import rollout
+from ..utils.config import ProblemConfig, SolverConfig
+from .admm import QPData, build_static_normal_inverse, solve_qp
+
+# Status codes (per-scenario, carried in the batch)
+STATUS_FEASIBLE_INITIAL = 0   # initial QP already collision-free, loop skipped
+STATUS_CONVERGED = 1          # SCP step-norm convergence (scp.py:161)
+STATUS_MAX_ITERS = 2          # hit max_iterations without converging
+
+
+class SCPResult(NamedTuple):
+    positions: jnp.ndarray        # (..., N, K, 2)
+    velocities: jnp.ndarray       # (..., N, K, 2)
+    accelerations: jnp.ndarray    # (..., N, K, 2)
+    iterations: jnp.ndarray       # (...) SCP iterations actually run
+    status: jnp.ndarray           # (...) status code above
+    converged: jnp.ndarray        # (...) bool: step-norm converged
+    feasible_initial: jnp.ndarray  # (...) bool: pre-loop feasibility (scp.py:144)
+    feasible_final: jnp.ndarray   # (...) bool: final trajectory collision-free
+    qp_iterations: jnp.ndarray    # (...) total ADMM iterations across QP solves
+    qp_converged_all: jnp.ndarray  # (...) bool: every QP solve converged
+    rel_step: jnp.ndarray         # (...) last relative step norm
+
+
+class SCPEngine:
+    """Compiled SCP solver for a fixed (problem, solver) configuration.
+
+    Builds the static artifacts (pair index, preconditioner inverse) once;
+    ``solve`` handles a single scenario, ``solve_batch`` a leading batch axis.
+    """
+
+    def __init__(self, problem: ProblemConfig,
+                 solver: SolverConfig | None = None,
+                 dtype=jnp.float32):
+        if problem.n_steps < 2:
+            raise ValueError(
+                f"K = int(T/h) = {problem.n_steps}; need K >= 2")
+        self.problem = problem
+        self.solver = solver if solver is not None else SolverConfig()
+        self.dtype = dtype
+        self.pairs = make_pair_index(problem.n_vehicles, dtype=dtype)
+        self.Minv = build_static_normal_inverse(problem.n_steps,
+                                                problem.time_step,
+                                                self.solver, dtype=dtype)
+
+    # -- single scenario ---------------------------------------------------
+
+    def solve(self, p0, v0, pf, vf, key=None) -> SCPResult:
+        """p0/v0/pf/vf: (N, 2) arrays; key: JAX PRNG key for degenerate pairs."""
+        if key is None:
+            key = jax.random.key(0)
+        args = [jnp.asarray(a, dtype=self.dtype) for a in (p0, v0, pf, vf)]
+        return _scp_solve(*args, key, pairs=self.pairs, Minv=self.Minv,
+                          problem=self.problem, solver=self.solver)
+
+    # -- batched -----------------------------------------------------------
+
+    def solve_batch(self, p0, v0, pf, vf, keys) -> SCPResult:
+        """All state arrays (B, N, 2); keys (B,) PRNG keys.  vmapped solve."""
+        args = [jnp.asarray(a, dtype=self.dtype) for a in (p0, v0, pf, vf)]
+        fn = jax.vmap(partial(_scp_solve, pairs=self.pairs, Minv=self.Minv,
+                              problem=self.problem, solver=self.solver))
+        return fn(*args, keys)
+
+
+@partial(jax.jit, static_argnames=("problem", "solver"))
+def _scp_solve(p0, v0, pf, vf, key, *, pairs: PairIndex, Minv,
+               problem: ProblemConfig, solver: SolverConfig) -> SCPResult:
+    N = problem.n_vehicles
+    K = problem.n_steps
+    P = problem.n_pairs
+    h = problem.time_step
+    R = problem.min_distance
+    dtype = p0.dtype
+
+    lo_s, up_s = static_bounds(p0, v0, pf, vf, n_vehicles=N, n_steps=K, h=h,
+                               limits=problem.limits)
+    inf = jnp.asarray(jnp.inf, dtype)
+    col_lo_off = jnp.full((K, P), -inf, dtype=dtype)
+    col_up = jnp.full((K, P), inf, dtype=dtype)
+    eta0 = jnp.zeros((K, P, 2), dtype=dtype)
+
+    # ---- phase 1: initial QP without collision rows (scp.py:138, 323-369)
+    data0 = QPData(eta=eta0, col_mask=jnp.asarray(0.0, dtype),
+                   lower=ConstraintBlocks(col=col_lo_off, **lo_s),
+                   upper=ConstraintBlocks(col=col_up, **up_s))
+    x0 = jnp.zeros((N, K, 2), dtype=dtype)
+    qp0 = solve_qp(data0, pairs.E, Minv, x0, h=h, cfg=solver)
+    a = qp0.x
+
+    pos_init, _ = rollout(a, p0, v0, h)
+    feasible_initial = check_feasible(pos_init, pairs, R)
+
+    # ---- phase 2: SCP iterations (scp.py:152-166)
+    def body(carry):
+        a, it, converged, rel, qp_iters, qp_ok = carry
+        prev_pos, _ = rollout(a, p0, v0, h)
+        subkey = jax.random.fold_in(key, it)
+        eta, dist = linearize(prev_pos, pairs, subkey)
+        col_lo = collision_lower_bounds(eta, dist, prev_pos, p0, v0, pairs,
+                                        h=h, min_distance=R)
+        data = QPData(eta=eta, col_mask=jnp.asarray(1.0, dtype),
+                      lower=ConstraintBlocks(col=col_lo, **lo_s),
+                      upper=ConstraintBlocks(col=col_up, **up_s))
+        qp = solve_qp(data, pairs.E, Minv, a, h=h, cfg=solver)
+        a_new = qp.x
+        step = jnp.linalg.norm((a_new - a).reshape(-1))
+        denom = jnp.maximum(jnp.linalg.norm(a.reshape(-1)), 1e-30)
+        rel_step = step / denom
+        converged = rel_step <= problem.convergence_tolerance
+        return (a_new, it + 1, converged, rel_step,
+                qp_iters + qp.iters, jnp.logical_and(qp_ok, qp.converged))
+
+    def cond(carry):
+        _, it, converged, *_ = carry
+        return jnp.logical_and(
+            it < problem.max_iterations,
+            jnp.logical_and(jnp.logical_not(converged),
+                            jnp.logical_not(feasible_initial)))
+
+    init = (a, jnp.int32(0), jnp.asarray(False), jnp.asarray(jnp.inf, dtype),
+            qp0.iters, qp0.converged)
+    a, iters, converged, rel_step, qp_iters, qp_ok = jax.lax.while_loop(
+        cond, body, init)
+
+    # ---- final rollout (scp.py:168-180)
+    positions, velocities = rollout(a, p0, v0, h)
+    feasible_final = check_feasible(positions, pairs, R)
+
+    status = jnp.where(
+        feasible_initial, STATUS_FEASIBLE_INITIAL,
+        jnp.where(converged, STATUS_CONVERGED, STATUS_MAX_ITERS))
+
+    return SCPResult(positions=positions, velocities=velocities,
+                     accelerations=a, iterations=iters,
+                     status=status.astype(jnp.int32), converged=converged,
+                     feasible_initial=feasible_initial,
+                     feasible_final=feasible_final,
+                     qp_iterations=qp_iters, qp_converged_all=qp_ok,
+                     rel_step=rel_step)
+
+
+# ---------------------------------------------------------------------------
+# Reference-compatible class API (path_planning.SCP drop-in)
+# ---------------------------------------------------------------------------
+
+class SCP:
+    """Drop-in equivalent of the reference ``path_planning.SCP`` class
+    (``scp.py:31-180``): same constructor signature, ``set_initial_states`` /
+    ``set_final_states`` / ``generate_trajectories`` methods, and
+    ``trajectories`` dict of (N, K, 2) numpy arrays — backed by the jitted
+    TPU engine instead of scipy+OSQP.
+    """
+
+    def __init__(self, n_vehicles=5, time_horizon=3.0, time_step=0.1,
+                 min_distance=0.1, space_dims=None, *, solver=None,
+                 dtype=None, verbose=True):
+        if space_dims is None:
+            space_dims = [0, 0, 20, 20]
+        self.N = n_vehicles
+        self.T = time_horizon
+        self.h = time_step
+        self.K = int(time_horizon / time_step)
+        self.R = min_distance
+        self.space_dims = list(space_dims)
+        self.convergence_tolerance = 1.5e-2
+        self.trajectories = None
+        self.result: SCPResult | None = None
+        self.initial_positions = None
+        self.initial_velocities = None
+        self.final_positions = None
+        self.final_velocities = None
+        self._solver_cfg = solver
+        self._dtype = dtype if dtype is not None else jnp.float32
+        self._engine_cache: dict[int, SCPEngine] = {}
+        if verbose:
+            print("---=== SCP Problem initialized (TPU engine) ===---")
+            print(f"Number of timesteps: {self.K}")
+            print(f"Timestep: {self.h}")
+            print(f"Minimum distance between vehicles: {self.R}")
+            print(f"Space dimensions: {self.space_dims}")
+
+    def set_initial_states(self, positions, velocities=None):
+        import numpy as np
+        positions = np.asarray(positions, dtype=float).reshape(self.N, 2)
+        if velocities is None:
+            velocities = np.zeros((self.N, 2))
+        velocities = np.asarray(velocities, dtype=float).reshape(self.N, 2)
+        self.initial_positions = positions.reshape(-1)
+        self.initial_velocities = velocities.reshape(-1)
+
+    def set_final_states(self, positions, velocities=None):
+        import numpy as np
+        positions = np.asarray(positions, dtype=float).reshape(self.N, 2)
+        if velocities is None:
+            velocities = np.zeros((self.N, 2))
+        velocities = np.asarray(velocities, dtype=float).reshape(self.N, 2)
+        self.final_positions = positions.reshape(-1)
+        self.final_velocities = velocities.reshape(-1)
+
+    def _engine(self, max_iterations: int) -> SCPEngine:
+        if max_iterations not in self._engine_cache:
+            problem = ProblemConfig(
+                n_vehicles=self.N, time_horizon=self.T, time_step=self.h,
+                min_distance=self.R, space_dims=tuple(self.space_dims),
+                max_iterations=max_iterations)
+            self._engine_cache[max_iterations] = SCPEngine(
+                problem, self._solver_cfg, dtype=self._dtype)
+        return self._engine_cache[max_iterations]
+
+    def generate_trajectories(self, max_iterations=15, seed=0):
+        import time as _time
+        import numpy as np
+        if self.initial_positions is None or self.final_positions is None:
+            raise ValueError("Set initial and final states first")
+        t0 = _time.time()
+        engine = self._engine(max_iterations)
+        res = engine.solve(self.initial_positions.reshape(self.N, 2),
+                           self.initial_velocities.reshape(self.N, 2),
+                           self.final_positions.reshape(self.N, 2),
+                           self.final_velocities.reshape(self.N, 2),
+                           key=jax.random.key(seed))
+        res = jax.tree.map(np.asarray, res)
+        self.result = res
+        self.trajectories = {
+            "positions": res.positions,
+            "velocities": res.velocities,
+            "accelerations": res.accelerations,
+        }
+        print(f"Trajectory generation completed in {_time.time() - t0:.3f} "
+              f"seconds ({int(res.iterations)} SCP iterations, "
+              f"status={int(res.status)})")
+        return self.trajectories
+
+    # -- visualization (delegates to the viz layer) ------------------------
+
+    def visualize_trajectories(self, show_animation=False,
+                               save_path="trajectories.pdf"):
+        from ..viz.plots import plot_trajectories
+        if self.trajectories is None:
+            raise ValueError("Trajectories not generated yet")
+        return plot_trajectories(self.trajectories["positions"],
+                                 self.space_dims, self.R,
+                                 save_path=save_path, show=show_animation)
+
+    def visualize_time_snapshots(self, num_snapshots=5, save_path=None):
+        from ..viz.plots import plot_time_snapshots
+        if self.trajectories is None:
+            raise ValueError("Trajectories not generated yet")
+        return plot_time_snapshots(self.trajectories["positions"],
+                                   self.space_dims, self.R, self.h,
+                                   num_snapshots=num_snapshots,
+                                   save_path=save_path)

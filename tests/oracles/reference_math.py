@@ -192,6 +192,56 @@ def check_feasible(positions: np.ndarray, R: float) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Full SCP loop oracle (control flow per SURVEY 3.5)
+# ---------------------------------------------------------------------------
+
+def scp_solve(p0, v0, pf, vf, *, R, h, K, max_iterations=15, tol=1.5e-2,
+              vel_min=-2.0, vel_max=2.0, acc_min=-15.0, acc_max=15.0,
+              jerk_min=-20.0, jerk_max=20.0, pos_min=(0.0, 0.0),
+              pos_max=(20.0, 20.0), qp_tol=1e-10):
+    """Oracle SCP: dense matrices + scipy QP, reference control flow.
+
+    Returns dict with positions/velocities/accelerations (N,K,2), iterations,
+    converged, feasible_initial.
+    """
+    N = p0.shape[0]
+    mats = static_dense_matrices(N, K, h)
+    lo, up = static_bounds(p0, v0, pf, vf, K=K, h=h, vel_min=vel_min,
+                           vel_max=vel_max, acc_min=acc_min, acc_max=acc_max,
+                           jerk_min=jerk_min, jerk_max=jerk_max,
+                           pos_min=pos_min, pos_max=pos_max)
+    A_s = np.vstack([mats["jerk"], mats["acc"], mats["vel"], mats["pos"]])
+    l_s = np.concatenate([lo[k].reshape(-1) for k in ("jerk", "acc", "vel", "pos")])
+    u_s = np.concatenate([up[k].reshape(-1) for k in ("jerk", "acc", "vel", "pos")])
+
+    x = solve_qp(A_s, l_s, u_s, tol=qp_tol)
+    a = unflatten(x, N, K)
+    positions, _ = rollout(a, p0, v0, h)
+    feasible_initial = check_feasible(positions, R)
+
+    iteration = 0
+    converged = False
+    while iteration < max_iterations and not converged and not feasible_initial:
+        prev_pos, _ = rollout(unflatten(x, N, K), p0, v0, h)
+        A_c, l_c, _ = collision_rows(prev_pos, p0, v0, R, h)
+        A = np.vstack([A_s, A_c])
+        l = np.concatenate([l_s, l_c])
+        u = np.concatenate([u_s, np.full(len(l_c), np.inf)])
+        x_new = solve_qp(A, l, u, x0=x, tol=qp_tol)
+        rel = np.linalg.norm(x_new - x) / np.linalg.norm(x)
+        if rel <= tol:
+            converged = True
+        x = x_new
+        iteration += 1
+
+    a = unflatten(x, N, K)
+    positions, velocities = rollout(a, p0, v0, h)
+    return dict(positions=positions, velocities=velocities, accelerations=a,
+                iterations=iteration, converged=converged,
+                feasible_initial=feasible_initial)
+
+
+# ---------------------------------------------------------------------------
 # QP oracle:  min ||x||^2  s.t.  l <= Ax <= u   (scipy, dense, float64)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,142 @@
+"""End-to-end SCP engine tests: properties, oracle parity, batching."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ba_path_planning_tpu.solvers.scp import (SCPEngine, STATUS_FEASIBLE_INITIAL,
+                                              STATUS_CONVERGED)
+from ba_path_planning_tpu.utils import ProblemConfig, SolverConfig
+from oracles import reference_math as oracle
+
+
+def _crossing_scenario():
+    """Two vehicles swapping places head-on: straight lines collide."""
+    p0 = np.array([[6.0, 10.0], [14.0, 10.0]])
+    pf = np.array([[14.0, 10.1], [6.0, 9.9]])
+    v0 = np.zeros((2, 2))
+    vf = np.zeros((2, 2))
+    return p0, v0, pf, vf
+
+
+def _tight_solver():
+    return SolverConfig(eps_abs=1e-6, eps_rel=1e-6, max_iter=20000,
+                        cg_iters=40)
+
+
+def test_crossing_produces_collision_free_trajectories():
+    p0, v0, pf, vf = _crossing_scenario()
+    problem = ProblemConfig(n_vehicles=2, time_horizon=10.0, time_step=0.5,
+                            min_distance=1.0, max_iterations=15)
+    eng = SCPEngine(problem, _tight_solver(), dtype=jnp.float64)
+    res = eng.solve(p0, v0, pf, vf, key=jax.random.key(0))
+
+    assert not bool(res.feasible_initial)       # straight lines must collide
+    assert bool(res.feasible_final), (res.status, res.rel_step)
+    assert int(res.iterations) >= 1
+
+    pos = np.asarray(res.positions)
+    vel = np.asarray(res.velocities)
+    acc = np.asarray(res.accelerations)
+    K, h = problem.n_steps, problem.time_step
+
+    # initial conditions exact
+    np.testing.assert_allclose(pos[:, 0], p0, atol=1e-9)
+    np.testing.assert_allclose(vel[:, 0], v0, atol=1e-9)
+    # terminal equality rows constrain p[K] (one step past the last rollout
+    # index, scp.py:206-257): p[K] = p[K-1] + h v[K-1] + h^2/2 a[K-1]
+    pK = pos[:, -1] + h * vel[:, -1] + 0.5 * h * h * acc[:, -1]
+    vK = vel[:, -1] + h * acc[:, -1]
+    np.testing.assert_allclose(pK, pf, atol=5e-3)
+    np.testing.assert_allclose(vK, vf, atol=5e-3)
+    # box constraints (small QP-accuracy slack)
+    assert np.all(np.abs(acc) <= 15.0 + 1e-4)
+    assert np.all(np.abs(vel) <= 2.0 + 1e-3)
+    jerk = np.diff(acc, axis=1) / h
+    assert np.all(np.abs(jerk) <= 20.0 + 1e-3)
+    # min distance respected with reference slack (scp.py:610)
+    d = np.linalg.norm(pos[0] - pos[1], axis=-1)
+    assert d.min() >= problem.min_distance - 0.01
+
+
+def test_matches_oracle_scp_within_1e3():
+    """Full-loop differential test vs the dense scipy oracle (SURVEY target:
+    trajectories within 1e-3 at same horizon and convergence criteria)."""
+    p0, v0, pf, vf = _crossing_scenario()
+    K, h, R = 14, 0.5, 1.0
+    problem = ProblemConfig(n_vehicles=2, time_horizon=K * h, time_step=h,
+                            min_distance=R, max_iterations=15)
+    eng = SCPEngine(problem, _tight_solver(), dtype=jnp.float64)
+    res = eng.solve(p0, v0, pf, vf, key=jax.random.key(0))
+
+    ref = oracle.scp_solve(p0, v0, pf, vf, R=R, h=h, K=K, max_iterations=15)
+
+    assert int(res.iterations) == ref["iterations"]
+    assert bool(res.converged) == ref["converged"]
+    np.testing.assert_allclose(np.asarray(res.positions), ref["positions"],
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res.velocities), ref["velocities"],
+                               atol=1e-3)
+
+
+def test_feasible_initial_skips_loop():
+    """Far-apart parallel transfers: initial QP already collision-free."""
+    p0 = np.array([[2.0, 2.0], [18.0, 18.0]])
+    pf = np.array([[4.0, 2.0], [16.0, 18.0]])
+    v0 = np.zeros((2, 2))
+    vf = np.zeros((2, 2))
+    problem = ProblemConfig(n_vehicles=2, time_horizon=5.0, time_step=0.5,
+                            min_distance=0.5)
+    eng = SCPEngine(problem, _tight_solver(), dtype=jnp.float64)
+    res = eng.solve(p0, v0, pf, vf, key=jax.random.key(0))
+    assert bool(res.feasible_initial)
+    assert int(res.iterations) == 0
+    assert int(res.status) == STATUS_FEASIBLE_INITIAL
+    assert bool(res.feasible_final)
+
+
+def test_batch_matches_single():
+    p0, v0, pf, vf = _crossing_scenario()
+    problem = ProblemConfig(n_vehicles=2, time_horizon=6.0, time_step=0.5,
+                            min_distance=1.0)
+    eng = SCPEngine(problem, _tight_solver(), dtype=jnp.float64)
+    B = 3
+    keys = jax.random.split(jax.random.key(1), B)
+    p0b = np.stack([p0 + 0.1 * b for b in range(B)])
+    pfb = np.stack([pf - 0.1 * b for b in range(B)])
+    v0b = np.zeros((B, 2, 2))
+    vfb = np.zeros((B, 2, 2))
+    batch = eng.solve_batch(p0b, v0b, pfb, vfb, keys)
+    for b in range(B):
+        single = eng.solve(p0b[b], v0b[b], pfb[b], vfb[b], key=keys[b])
+        np.testing.assert_allclose(np.asarray(batch.positions[b]),
+                                   np.asarray(single.positions), atol=1e-8)
+        assert int(batch.status[b]) == int(single.status)
+
+
+def test_single_vehicle_no_pairs():
+    """N=1: zero pairs, loop always skipped, pure boundary-value solve."""
+    problem = ProblemConfig(n_vehicles=1, time_horizon=4.0, time_step=0.5,
+                            min_distance=0.5)
+    eng = SCPEngine(problem, _tight_solver(), dtype=jnp.float64)
+    res = eng.solve(np.array([[5.0, 5.0]]), np.zeros((1, 2)),
+                    np.array([[7.0, 6.0]]), np.zeros((1, 2)))
+    assert bool(res.feasible_initial)
+    assert bool(res.feasible_final)
+    assert int(res.iterations) == 0
+
+
+def test_scp_class_api():
+    """Reference-compatible class facade produces the same trajectories dict."""
+    from ba_path_planning_tpu.solvers.scp import SCP
+    p0, v0, pf, vf = _crossing_scenario()
+    planner = SCP(n_vehicles=2, time_horizon=6.0, time_step=0.5,
+                  min_distance=1.0, verbose=False, dtype=jnp.float64,
+                  solver=_tight_solver())
+    planner.set_initial_states(p0)
+    planner.set_final_states(pf)
+    traj = planner.generate_trajectories(max_iterations=15)
+    assert set(traj) == {"positions", "velocities", "accelerations"}
+    assert traj["positions"].shape == (2, 12, 2)
+    assert bool(planner.result.feasible_final)
