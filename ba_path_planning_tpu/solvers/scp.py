@@ -80,6 +80,12 @@ class SCPEngine:
                                                 problem.time_step,
                                                 self.solver, dtype=dtype)
 
+    def solve_fn(self):
+        """The raw (un-jitted) per-scenario solve closure, for callers that
+        compose their own jit/vmap/shard_map around it."""
+        return partial(_scp_solve, pairs=self.pairs, Minv=self.Minv,
+                       problem=self.problem, solver=self.solver)
+
     # -- single scenario ---------------------------------------------------
 
     def solve(self, p0, v0, pf, vf, key=None) -> SCPResult:

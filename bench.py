@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Headline benchmark: collision-free scenario solves/s per chip.
+
+Workload: the reference's compute-trajectories-batch configuration
+(N=20 vehicles, T=10s, h=0.2 -> K=50, R=0.8, 20x20 box, <=15 SCP iterations;
+``compute_trajectories_batch.py:14-24``) — but run as ONE batched, jitted
+program on a scenario batch instead of a sequential Python loop.
+
+Prints one JSON line:
+  {"metric": "scenario_solves_per_sec", "value": ..., "unit": "solves/s",
+   "vs_baseline": ...}
+
+vs_baseline normalizes against the BASELINE.json north-star target of
+1000 solves/s on a v5e-16, i.e. 62.5 solves/s per chip: vs_baseline = 1.0
+means exactly on track for the pod-slice target on this chip count.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ba_path_planning_tpu.parallel.mesh import ShardedSCPSolver, make_mesh
+    from ba_path_planning_tpu.scenarios import generate_scenario_batch
+    from ba_path_planning_tpu.utils import ProblemConfig, SolverConfig
+
+    problem = ProblemConfig(n_vehicles=20, time_horizon=10.0, time_step=0.2,
+                            min_distance=0.8, max_iterations=15)
+    # OSQP-default-accuracy inner solves (eps 1e-3, scp.py uses OSQP defaults)
+    solver = SolverConfig(eps_abs=1e-3, eps_rel=1e-3, max_iter=1000,
+                          cg_iters=8, check_interval=25)
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    batch = int(256 * n_dev)
+
+    mesh = make_mesh(devices)
+    sh = ShardedSCPSolver(problem, solver, mesh=mesh, dtype=jnp.float32)
+
+    sc = generate_scenario_batch(jax.random.key(0), batch,
+                                 n_vehicles=problem.n_vehicles,
+                                 min_distance=problem.min_distance)
+    v0 = jnp.zeros((batch, problem.n_vehicles, 2), jnp.float32)
+    keys = jax.random.split(jax.random.key(1), batch)
+
+    # warmup/compile
+    res = sh.solve(sc.initial, v0, sc.final, v0, keys)
+    jax.block_until_ready(res)
+
+    t0 = time.perf_counter()
+    res = sh.solve(sc.initial, v0, sc.final, v0, keys)
+    jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+
+    status = np.asarray(res.status)
+    ff = np.asarray(res.feasible_final)
+    ok = int(ff.sum())
+    solves_per_sec = ok / dt
+
+    target_per_chip = 1000.0 / 16.0
+    out = {
+        "metric": "scenario_solves_per_sec",
+        "value": round(solves_per_sec, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_sec / (target_per_chip * n_dev), 3),
+    }
+    print(json.dumps(out))
+    print(f"# batch={batch} devices={n_dev} wall={dt:.3f}s "
+          f"collision_free={ok}/{batch} "
+          f"statuses={np.bincount(status, minlength=3).tolist()} "
+          f"mean_scp_iters={float(np.asarray(res.iterations).mean()):.2f} "
+          f"mean_qp_iters={float(np.asarray(res.qp_iterations).mean()):.0f}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

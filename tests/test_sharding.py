@@ -1,0 +1,43 @@
+"""Sharded batch solves on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ba_path_planning_tpu.parallel.mesh import ShardedSCPSolver, make_mesh
+from ba_path_planning_tpu.scenarios import generate_scenario_batch
+from ba_path_planning_tpu.solvers.scp import SCPEngine
+from ba_path_planning_tpu.utils import ProblemConfig, SolverConfig
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_batch_matches_unsharded():
+    problem = ProblemConfig(n_vehicles=3, time_horizon=5.0, time_step=0.5,
+                            min_distance=0.8, max_iterations=8)
+    solver = SolverConfig(eps_abs=1e-5, eps_rel=1e-5, max_iter=4000)
+    B = 16
+    sc = generate_scenario_batch(jax.random.key(0), B,
+                                 n_vehicles=problem.n_vehicles,
+                                 min_distance=problem.min_distance,
+                                 dtype=jnp.float64)
+    v0 = jnp.zeros((B, problem.n_vehicles, 2), dtype=jnp.float64)
+    keys = jax.random.split(jax.random.key(1), B)
+
+    sharded = ShardedSCPSolver(problem, solver, dtype=jnp.float64)
+    res_sh = sharded.solve(sc.initial, v0, sc.final, v0, keys)
+
+    eng = SCPEngine(problem, solver, dtype=jnp.float64)
+    res_un = eng.solve_batch(sc.initial, v0, sc.final, v0, keys)
+
+    np.testing.assert_allclose(np.asarray(res_sh.positions),
+                               np.asarray(res_un.positions), atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(res_sh.status),
+                                  np.asarray(res_un.status))
+    # outputs actually sharded over the scenario axis
+    shard_devs = {d for s in res_sh.positions.addressable_shards
+                  for d in [s.device]}
+    assert len(shard_devs) == 8
