@@ -1,0 +1,243 @@
+"""Batch benchmark CLI — equivalent of the reference
+``compute-trajectories-batch`` (``cli/compute_trajectories_batch.py``), with
+the sequential trial loop replaced by one batched, sharded, jitted program.
+
+Output keeps the reference's exact compatibility schema: a timestamped JSON
+``{meta, runs, summary}`` document (``schema_version: "1.0"``,
+``compute_trajectories_batch.py:91-100``) and a flat CSV with columns
+``N, trial_index, status, time_sec, K, T, h, error``
+(``compute_trajectories_batch.py:158``) so the boxplot tool consumes either
+implementation's results.
+
+Semantics notes:
+  * per-trial ``time_sec`` is the batch wall time divided by the number of
+    trials in the batch — the honest per-scenario amortized cost of the
+    batched execution model (recorded in meta as ``timing_mode``)
+  * ``status`` is "success" when the solve produced a collision-free
+    trajectory (feasible_final), else "error" with the status code —
+    *stricter* than the reference, which only records raised exceptions
+    (``compute_trajectories_batch.py:50-54``) and never re-checks feasibility
+  * scenario seeds are recorded per trial, fixing the reference's
+    irreproducibility TODO (``compute_trajectories_batch.py:40``)
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import time
+from datetime import datetime
+from pathlib import Path
+
+import numpy as np
+
+DEFAULT_CONFIG = {
+    "Ns": [18, 20],                 # robot counts to test
+    "trials_per_N": 10,             # trials for each N
+    "time_horizon": 10.0,           # [s]
+    "time_step": 0.2,               # [s]
+    "min_distance": 0.8,            # [m]
+    "space_dims": [0, 0, 20, 20],
+    "max_iterations": 15,
+    "rng_seed": 0,
+    "results_dir": "data/trial_xxx",
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", type=str, default=None, help="YAML config file")
+    p.add_argument("--ns", type=int, nargs="+", default=None)
+    p.add_argument("--trials-per-n", type=int, default=None)
+    p.add_argument("--time-horizon", type=float, default=None)
+    p.add_argument("--time-step", type=float, default=None)
+    p.add_argument("--min-distance", type=float, default=None)
+    p.add_argument("--max-iterations", type=int, default=None)
+    p.add_argument("--rng-seed", type=int, default=None)
+    p.add_argument("--results-dir", type=str, default=None)
+    p.add_argument("--dtype", choices=["float32", "float64"],
+                   default="float32")
+    return p
+
+
+def _merge_config(args) -> dict:
+    cfg = dict(DEFAULT_CONFIG)
+    if args.config:
+        from ..utils.config import load_yaml
+        cfg.update(load_yaml(args.config) or {})
+    for key, attr in [("Ns", "ns"), ("trials_per_N", "trials_per_n"),
+                      ("time_horizon", "time_horizon"),
+                      ("time_step", "time_step"),
+                      ("min_distance", "min_distance"),
+                      ("max_iterations", "max_iterations"),
+                      ("rng_seed", "rng_seed"),
+                      ("results_dir", "results_dir")]:
+        v = getattr(args, attr)
+        if v is not None:
+            cfg[key] = v
+    return cfg
+
+
+def run_batch_for_n(n: int, cfg: dict, dtype) -> list[dict]:
+    """Solve all trials for one vehicle count as a single batched program."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel.mesh import ShardedSCPSolver, make_mesh
+    from ..scenarios import generate_scenario_batch
+    from ..utils.config import ProblemConfig
+
+    problem = ProblemConfig(
+        n_vehicles=n, time_horizon=cfg["time_horizon"],
+        time_step=cfg["time_step"], min_distance=cfg["min_distance"],
+        space_dims=tuple(cfg["space_dims"]),
+        max_iterations=cfg["max_iterations"])
+
+    trials = int(cfg["trials_per_N"])
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    padded = ((trials + n_dev - 1) // n_dev) * n_dev
+
+    seed = int(cfg["rng_seed"]) if cfg["rng_seed"] is not None else 0
+    master = jax.random.key(seed + 1000 * n)   # echoes ref's seed+1000*N+trial
+    sc = generate_scenario_batch(master, padded, n_vehicles=n,
+                                 min_distance=cfg["min_distance"],
+                                 dtype=dtype)
+    v0 = jnp.zeros((padded, n, 2), dtype=dtype)
+    keys = jax.random.split(jax.random.fold_in(master, 1), padded)
+
+    solver = ShardedSCPSolver(problem, mesh=mesh, dtype=dtype)
+    # compile excluded from timing (one-time cost, reported separately)
+    res = solver.solve(sc.initial, v0, sc.final, v0, keys)
+    jax.block_until_ready(res)
+    t0 = time.perf_counter()
+    res = solver.solve(sc.initial, v0, sc.final, v0, keys)
+    jax.block_until_ready(res)
+    wall = time.perf_counter() - t0
+
+    res = jax.tree.map(np.asarray, res)
+    ok = np.asarray(sc.ok)
+    per_trial = wall / padded
+    rows = []
+    for t in range(trials):
+        gen_ok = bool(ok[t])
+        feasible = bool(res.feasible_final[t])
+        success = gen_ok and feasible
+        err = None
+        if not gen_ok:
+            err = "scenario generation failed"
+        elif not feasible:
+            err = f"not collision-free (status={int(res.status[t])})"
+        rows.append({
+            "N": n,
+            "trial_index": t,
+            "status": "success" if success else "error",
+            "time_sec": per_trial,
+            "error": err,
+            "K": problem.n_steps,
+            "T": problem.time_horizon,
+            "h": problem.time_step,
+            "scp_iterations": int(res.iterations[t]),
+            "scp_status": int(res.status[t]),
+            "seed": seed + 1000 * n,
+        })
+    return rows
+
+
+def summarize(runs: list[dict], ns: list[int]) -> dict:
+    summary = {}
+    for n in ns:
+        times = [r["time_sec"] for r in runs
+                 if r["N"] == n and r["status"] == "success"]
+        errors = sum(1 for r in runs
+                     if r["N"] == n and r["status"] != "success")
+        if times:
+            summary[str(n)] = {
+                "count": len(times),
+                "errors": errors,
+                "min": float(np.min(times)),
+                "max": float(np.max(times)),
+                "mean": float(np.mean(times)),
+                "median": float(np.median(times)),
+                "p25": float(np.percentile(times, 25)),
+                "p75": float(np.percentile(times, 75)),
+                "std": float(np.std(times, ddof=1)) if len(times) > 1 else 0.0,
+            }
+        else:
+            summary[str(n)] = {"count": 0, "errors": errors, "min": None,
+                               "max": None, "mean": None, "median": None,
+                               "p25": None, "p75": None, "std": None}
+    return summary
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = _merge_config(args)
+
+    import jax.numpy as jnp
+    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+
+    Path(cfg["results_dir"]).mkdir(parents=True, exist_ok=True)
+    stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    json_path = Path(cfg["results_dir"]) / f"scp_benchmark_{stamp}.json"
+    csv_path = Path(cfg["results_dir"]) / f"scp_benchmark_{stamp}.csv"
+
+    print("------ WOW SCP Benchmark (TPU batched) ------")
+    print(f"Robot counts: {cfg['Ns']}, Trials per N: {cfg['trials_per_N']}")
+    print(f"T={cfg['time_horizon']}s, h={cfg['time_step']}s, "
+          f"R={cfg['min_distance']}m, space={cfg['space_dims']}")
+    print(f"Max SCP iterations: {cfg['max_iterations']}")
+    print()
+
+    all_results = {
+        "meta": {
+            "timestamp": stamp,
+            "description": ("SCP timing benchmark for multiple N; batched "
+                            "TPU execution, per-trial time is amortized "
+                            "batch wall time."),
+            "config": cfg,
+            "schema_version": "1.0",
+            "timing_mode": "batch_amortized",
+            "engine": "ba_path_planning_tpu",
+        },
+        "runs": [],
+        "summary": {},
+    }
+
+    for n in cfg["Ns"]:
+        print(f"==> N = {n}")
+        rows = run_batch_for_n(n, cfg, dtype)
+        all_results["runs"].extend(rows)
+        succ = sum(1 for r in rows if r["status"] == "success")
+        mean_t = float(np.mean([r["time_sec"] for r in rows]))
+        print(f"  {succ}/{len(rows)} collision-free, "
+              f"amortized {mean_t*1e3:.2f} ms/solve")
+        print()
+
+    all_results["summary"] = summarize(all_results["runs"], cfg["Ns"])
+
+    with open(json_path, "w", encoding="utf-8") as f:
+        json.dump(all_results, f, indent=2)
+    print(f"Saved JSON: {json_path}")
+
+    fieldnames = ["N", "trial_index", "status", "time_sec", "K", "T", "h",
+                  "error"]
+    with open(csv_path, "w", newline="", encoding="utf-8") as f:
+        w = csv.DictWriter(f, fieldnames=fieldnames, extrasaction="ignore")
+        w.writeheader()
+        for r in all_results["runs"]:
+            w.writerow({k: r.get(k) for k in fieldnames})
+    print(f"Saved CSV:  {csv_path}")
+
+    print("\nSummary (success-only times):")
+    for n in cfg["Ns"]:
+        s = all_results["summary"][str(n)]
+        print(f"  N={n}: count={s['count']}, errors={s['errors']}, "
+              f"mean={s['mean']}, median={s['median']}, p25={s['p25']}, "
+              f"p75={s['p75']}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

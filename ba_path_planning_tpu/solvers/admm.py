@@ -66,21 +66,71 @@ class QPState(NamedTuple):
 
 
 # ---------------------------------------------------------------------------
+# Row equilibration: closed-form row norms -> per-row rho pattern
+# ---------------------------------------------------------------------------
+#
+# OSQP's Ruiz scaling is essential for ADMM iteration counts, and with
+# per-row penalty rho_i it is algebraically equivalent to row-only scaling:
+# scaling row i by d_i = 1/||A_i|| equals running unscaled ADMM with
+# rho_i = rho * d_i^2.  Every row norm here has a closed form independent of
+# problem data (collision rows too, since |eta| = 1), so equilibration costs
+# nothing at runtime:
+#   jerk row:       sqrt(2)/h
+#   acc row:        1
+#   vel row k:      h * sqrt(k+1)
+#   pos row k:      h^2 * sqrt(sum_{m<=k} (m+0.5)^2)
+#   collision row k: sqrt(2) * h^2 * sqrt(sum_{m<k} (m+0.5)^2)   (0 at k=0)
+
+# Row scales d = 1/row_norm are carried as a ConstraintBlocks pytree of
+# per-k (broadcastable) arrays so they tree_map against row-space values.
+RowScaling = ConstraintBlocks
+
+
+def _row_norms_np(K: int, h: float):
+    m = np.arange(K) + 0.5
+    cum = np.cumsum(m * m)                       # sum_{m<=k} (m+0.5)^2
+    jerk = np.full(K - 1, np.sqrt(2.0) / h)
+    acc = np.ones(K)
+    vel = h * np.sqrt(np.arange(1, K + 1, dtype=np.float64))
+    pos = h * h * np.sqrt(cum)
+    col = np.zeros(K)
+    col[1:] = np.sqrt(2.0) * h * h * np.sqrt(cum[:-1])
+    col[0] = 1.0                                 # vacuous all-zero row
+    return jerk, acc, vel, pos, col
+
+
+def build_row_scaling(n_steps: int, h: float, dtype=jnp.float32) -> RowScaling:
+    jerk, acc, vel, pos, col = _row_norms_np(n_steps, h)
+
+    def d(v):
+        return jnp.asarray((1.0 / v)[:, None], dtype=dtype)
+
+    return RowScaling(jerk=d(jerk), acc=d(acc), vel=d(vel), pos=d(pos),
+                      col=d(col))
+
+
+# ---------------------------------------------------------------------------
 # Preconditioner: exact inverse of the static-block normal matrix
 # ---------------------------------------------------------------------------
 
-def build_static_normal_inverse(n_steps: int, h: float, cfg: SolverConfig,
-                                dtype=jnp.float32) -> jnp.ndarray:
-    """(K, K) dense inverse of  (2 + sigma) I + sum_b C_b^T diag(rho_b) C_b.
+class Preconditioner(NamedTuple):
+    """Eigendecomposition B = Q diag(lam) Q^T of the equilibrated static
+    normal matrix, so  M(rho)^{-1} = Q diag(1/(2+sigma+rho*lam)) Q^T  is an
+    EXACT inverse of the collision-free x-update system for ANY rho —
+    adaptive rho never degrades the preconditioner."""
+    Q: jnp.ndarray      # (K, K)
+    lam: jnp.ndarray    # (K,)
 
-    Identical for every vehicle, axis, and scenario (the static operators are
-    block-diagonal copies of the same K x K matrices; terminal rows of the
-    vel/pos blocks are equalities and carry rho_eq_scale * rho).  Computed in
-    float64 numpy once per (K, h, solver-config); cast to ``dtype``.
+
+def build_static_normal_inverse(n_steps: int, h: float, cfg: SolverConfig,
+                                dtype=jnp.float32) -> Preconditioner:
+    """Eigendecomposition of  B = sum_b C_b^T diag(pattern_b) C_b  where the
+    per-row pattern is the equilibration rho_i/rho = 1/||A_i||^2 with the
+    rho_eq_scale boost on terminal equality rows.  Identical for every
+    vehicle, axis, and scenario.  Computed in float64 numpy once per
+    (K, h, solver-config); cast to ``dtype``.
     """
     K = n_steps
-    rho = cfg.rho
-    rho_eq = cfg.rho_eq_scale * rho
 
     J = np.zeros((K - 1, K))
     for k in range(K - 1):
@@ -92,16 +142,21 @@ def build_static_normal_inverse(n_steps: int, h: float, cfg: SolverConfig,
         for j in range(k + 1):
             S[k, j] = h * h * (k - j + 0.5)
 
-    rho_rows = np.full(K, rho)
-    rho_rows[K - 1] = rho_eq          # terminal equality row
+    n_jerk, n_acc, n_vel, n_pos, _ = _row_norms_np(K, h)
+    w_jerk = 1.0 / n_jerk**2
+    w_acc = 1.0 / n_acc**2
+    w_vel = 1.0 / n_vel**2
+    w_pos = 1.0 / n_pos**2
+    w_vel[K - 1] *= cfg.rho_eq_scale    # terminal equality rows
+    w_pos[K - 1] *= cfg.rho_eq_scale
 
-    M = (2.0 + cfg.sigma) * np.eye(K)
-    M += J.T * rho @ J
-    M += np.eye(K) * rho              # acceleration box rows
-    M += T.T @ np.diag(rho_rows) @ T
-    M += S.T @ np.diag(rho_rows) @ S
-    Minv = np.linalg.inv(M)
-    return jnp.asarray(Minv, dtype=dtype)
+    B = J.T @ np.diag(w_jerk) @ J
+    B += np.diag(w_acc)
+    B += T.T @ np.diag(w_vel) @ T
+    B += S.T @ np.diag(w_pos) @ S
+    lam, Q = np.linalg.eigh(B)
+    return Preconditioner(Q=jnp.asarray(Q, dtype=dtype),
+                          lam=jnp.asarray(lam, dtype=dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -119,23 +174,27 @@ def _apply_AT(y: ConstraintBlocks, eta, E, h, col_mask):
     return out + apply_collision_adjoint(y.col * col_mask, eta, E, h)
 
 
-def _rho_blocks(data: QPData, cfg: SolverConfig, rho: jnp.ndarray) -> ConstraintBlocks:
-    """Per-row rho: equality rows boosted, disabled collision rows ~ zeroed.
+def _rho_blocks(data: QPData, cfg: SolverConfig, rho: jnp.ndarray,
+                scaling: RowScaling) -> ConstraintBlocks:
+    """Per-row rho = rho * d_i^2 (equilibration), equality rows boosted by
+    rho_eq_scale, disabled collision rows ~ zeroed.
 
-    ``rho`` is a traced scalar (adaptive); the equality/loose pattern is static.
+    ``rho`` is a traced scalar (adaptive); the pattern is static.
     """
-    def block_rho(lo, up):
+    def block_rho(lo, up, d):
+        base = rho * d * d
         eq = (lo == up)
-        return jnp.where(eq, cfg.rho_eq_scale * rho, rho)
+        return jnp.where(eq, cfg.rho_eq_scale * base, base)
 
-    d = data
-    col_rho = jnp.where(d.col_mask > 0, rho, _LOOSE_RHO)
-    col_rho = jnp.broadcast_to(col_rho, d.lower.col.shape)
+    dd = data
+    col_base = rho * scaling.col * scaling.col      # (K, 1)
+    col_rho = jnp.where(dd.col_mask > 0, col_base, _LOOSE_RHO)
+    col_rho = jnp.broadcast_to(col_rho, dd.lower.col.shape)
     return ConstraintBlocks(
-        jerk=block_rho(d.lower.jerk, d.upper.jerk),
-        acc=block_rho(d.lower.acc, d.upper.acc),
-        vel=block_rho(d.lower.vel, d.upper.vel),
-        pos=block_rho(d.lower.pos, d.upper.pos),
+        jerk=block_rho(dd.lower.jerk, dd.upper.jerk, scaling.jerk),
+        acc=block_rho(dd.lower.acc, dd.upper.acc, scaling.acc),
+        vel=block_rho(dd.lower.vel, dd.upper.vel, scaling.vel),
+        pos=block_rho(dd.lower.pos, dd.upper.pos, scaling.pos),
         col=col_rho,
     )
 
@@ -150,17 +209,20 @@ def _inf_norm(t) -> jnp.ndarray:
     return jnp.max(jnp.stack(leaves))
 
 
-def _precond_apply(Minv: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
-    """r: (..., N, K, 2) -> Minv applied along the K axis."""
-    return jnp.einsum('kl,...nlc->...nkc', Minv, r,
-                      precision=jax.lax.Precision.HIGHEST)
+def _precond_apply(pc: Preconditioner, rho, sigma, r: jnp.ndarray) -> jnp.ndarray:
+    """M(rho)^{-1} r along the K axis:  Q diag(1/(2+sigma+rho*lam)) Q^T r."""
+    hp = jax.lax.Precision.HIGHEST
+    qt_r = jnp.einsum('lk,...nlc->...nkc', pc.Q, r, precision=hp)
+    qt_r = qt_r / (2.0 + sigma + rho * pc.lam)[:, None]
+    return jnp.einsum('kl,...nlc->...nkc', pc.Q, qt_r, precision=hp)
 
 
 # ---------------------------------------------------------------------------
 # PCG x-update
 # ---------------------------------------------------------------------------
 
-def _solve_xupdate(b, x0, eta, E, h, rho: ConstraintBlocks, sigma, Minv, cfg):
+def _solve_xupdate(b, x0, eta, E, h, rho: ConstraintBlocks, rho_scalar,
+                   sigma, pc: Preconditioner, cfg):
     """Solve  (2 + sigma) x + A^T diag(rho) A x = b  by PCG from x0."""
 
     def matvec(v):
@@ -169,7 +231,7 @@ def _solve_xupdate(b, x0, eta, E, h, rho: ConstraintBlocks, sigma, Minv, cfg):
         return (2.0 + sigma) * v + _apply_AT(rAv, eta, E, h, 1.0)
 
     r0 = b - matvec(x0)
-    z0 = _precond_apply(Minv, r0)
+    z0 = _precond_apply(pc, rho_scalar, sigma, r0)
     p0 = z0
     rz0 = jnp.vdot(r0, z0).real.astype(b.dtype)
     b_norm2 = jnp.vdot(b, b).real.astype(b.dtype)
@@ -182,7 +244,7 @@ def _solve_xupdate(b, x0, eta, E, h, rho: ConstraintBlocks, sigma, Minv, cfg):
         alpha = rz / jnp.maximum(denom, 1e-30)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = _precond_apply(Minv, r)
+        z = _precond_apply(pc, rho_scalar, sigma, r)
         rz_new = jnp.vdot(r, z).real.astype(b.dtype)
         beta = rz_new / jnp.maximum(rz, 1e-30)
         p = z + beta * p
@@ -203,7 +265,7 @@ def _solve_xupdate(b, x0, eta, E, h, rho: ConstraintBlocks, sigma, Minv, cfg):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("h", "cfg"))
-def solve_qp(data: QPData, E: jnp.ndarray, Minv: jnp.ndarray, x_init,
+def solve_qp(data: QPData, E: jnp.ndarray, Minv: Preconditioner, x_init,
              *, h: float, cfg: SolverConfig) -> QPState:
     """One full ADMM solve for a single scenario (vmap over scenarios outside).
 
@@ -215,17 +277,19 @@ def solve_qp(data: QPData, E: jnp.ndarray, Minv: jnp.ndarray, x_init,
     sigma = jnp.asarray(cfg.sigma, dtype)
     alpha = jnp.asarray(cfg.alpha, dtype)
     rho0 = jnp.asarray(cfg.rho, dtype)
+    K = x_init.shape[-2]
+    scaling = build_row_scaling(K, h, dtype=dtype)   # trace-time constants
 
     Ax0 = _apply_A(x_init, eta, E, h, data.col_mask)
     z0 = _tmap(jnp.clip, Ax0, data.lower, data.upper)
     y0 = _tmap(jnp.zeros_like, z0)
 
-    def admm_iter(x, z, y, rho_blocks):
+    def admm_iter(x, z, y, rho_blocks, rho_s):
         # x-update rhs: sigma x - q + A^T (rho z - y)
         rzy = _tmap(lambda zz, yy, rr: rr * zz - yy, z, y, rho_blocks)
         b = sigma * x + _apply_AT(rzy, eta, E, h, 1.0)
-        x_tilde, _ = _solve_xupdate(b, x, eta, E, h, rho_blocks, sigma, Minv,
-                                    cfg)
+        x_tilde, _ = _solve_xupdate(b, x, eta, E, h, rho_blocks, rho_s,
+                                    sigma, Minv, cfg)
         x_new = alpha * x_tilde + (1.0 - alpha) * x
         Ax_tilde = _apply_A(x_tilde, eta, E, h, data.col_mask)
         z_relaxed = _tmap(lambda azt, zz: alpha * azt + (1.0 - alpha) * zz,
@@ -238,41 +302,38 @@ def solve_qp(data: QPData, E: jnp.ndarray, Minv: jnp.ndarray, x_init,
         return x_new, z_new, y_new
 
     def residuals(x, z, y):
+        # primal residual measured on the equilibrated rows (OSQP checks the
+        # scaled problem): ||d * (Ax - z)||_inf
         Ax = _apply_A(x, eta, E, h, data.col_mask)
-        prim = _inf_norm(_tmap(lambda a, b_: a - b_, Ax, z))
-        dual_vec = 2.0 * x + _apply_AT(y, eta, E, h, data.col_mask)
-        dual = jnp.max(jnp.abs(dual_vec))
-        prim_scale = jnp.maximum(_inf_norm(Ax), _inf_norm(z))
+        dAx = _tmap(lambda a, d_: a * d_, Ax, scaling)
+        dz = _tmap(lambda a, d_: a * d_, z, scaling)
+        prim = _inf_norm(_tmap(lambda a, b_: a - b_, dAx, dz))
         ATy = _apply_AT(y, eta, E, h, data.col_mask)
+        dual = jnp.max(jnp.abs(2.0 * x + ATy))
+        prim_scale = jnp.maximum(_inf_norm(dAx), _inf_norm(dz))
         dual_scale = jnp.maximum(jnp.max(jnp.abs(2.0 * x)),
                                  jnp.max(jnp.abs(ATy)))
         eps_prim = cfg.eps_abs + cfg.eps_rel * prim_scale
         eps_dual = cfg.eps_abs + cfg.eps_rel * dual_scale
         done = jnp.logical_and(prim <= eps_prim, dual <= eps_dual)
-        return prim, dual, done
+        return prim, dual, done, prim / jnp.maximum(prim_scale, 1e-10), \
+            dual / jnp.maximum(dual_scale, 1e-10)
 
     n_outer = cfg.max_iter // cfg.check_interval
 
     def outer_body(carry):
         x, z, y, rho, it, prim, dual, done = carry
-        rho_b = _rho_blocks(data, cfg, rho)
+        rho_b = _rho_blocks(data, cfg, rho, scaling)
 
         def inner(i, xzys):
             x_, z_, y_ = xzys
-            return admm_iter(x_, z_, y_, rho_b)
+            return admm_iter(x_, z_, y_, rho_b, rho)
 
         x, z, y = jax.lax.fori_loop(0, cfg.check_interval, inner, (x, z, y))
-        prim, dual, done = residuals(x, z, y)
+        prim, dual, done, pr, dr = residuals(x, z, y)
 
-        # OSQP-style adaptive rho: rescale by sqrt of residual ratio.
+        # OSQP-style adaptive rho: rescale by sqrt of relative residual ratio.
         if cfg.adaptive_rho:
-            Ax = _apply_A(x, eta, E, h, data.col_mask)
-            prim_scale = jnp.maximum(_inf_norm(Ax), _inf_norm(z))
-            ATy = _apply_AT(y, eta, E, h, data.col_mask)
-            dual_scale = jnp.maximum(jnp.max(jnp.abs(2.0 * x)),
-                                     jnp.max(jnp.abs(ATy)))
-            pr = prim / jnp.maximum(prim_scale, 1e-10)
-            dr = dual / jnp.maximum(dual_scale, 1e-10)
             ratio = jnp.sqrt(pr / jnp.maximum(dr, 1e-12))
             new_rho = jnp.clip(rho * ratio, 1e-6, 1e6)
             # only adapt on large imbalance (OSQP: factor 5); rescale y.
