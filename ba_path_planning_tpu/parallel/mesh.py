@@ -46,17 +46,55 @@ class ShardedSCPSolver:
 
     def __init__(self, problem: ProblemConfig,
                  solver: SolverConfig | None = None,
-                 mesh: Mesh | None = None, dtype=jnp.float32):
+                 mesh: Mesh | None = None, dtype=jnp.float32,
+                 microbatch: int | None = None):
+        """``microbatch``: per-device chunk size.  The batched `while_loop`
+        runs every lane until the slowest lane in the program converges, so
+        solving the batch as sequential chunks of ``microbatch`` scenarios
+        bounds that tail to the chunk maximum instead of the global maximum
+        (total work = sum of per-chunk maxima).  None = one chunk.
+        """
         self.engine = SCPEngine(problem, solver, dtype=dtype)
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_devices = self.mesh.devices.size
         self.sharding = NamedSharding(self.mesh, P(SCENARIO_AXIS))
         self.replicated = NamedSharding(self.mesh, P())
+        self.microbatch = microbatch
 
         solve_one = self.engine.solve_fn()
+        n_dev = self.n_devices
+        mb = microbatch
 
         def _solve(p0, v0, pf, vf, keys):
-            return jax.vmap(solve_one)(p0, v0, pf, vf, keys)
+            B = p0.shape[0]
+            per_dev = B // n_dev
+            if mb is None or mb >= per_dev:
+                return jax.vmap(solve_one)(p0, v0, pf, vf, keys)
+            # chunk the per-device batch: (B,...) -> (C, n_dev*mb, ...) and
+            # lax.map over chunks (sequential), vmap within a chunk.
+            # Reshape keeps each device's scenarios contiguous per chunk by
+            # splitting the per-device axis: (n_dev, per_dev, ...) ->
+            # (n_dev, C, mb, ...) -> (C, n_dev*mb, ...)
+            C = per_dev // mb
+            assert per_dev % mb == 0, (per_dev, mb)
+
+            def chunked(x):
+                rest = x.shape[1:]
+                return (x.reshape((n_dev, C, mb) + rest)
+                        .transpose((1, 0, 2) + tuple(
+                            range(3, 3 + len(rest))))
+                        .reshape((C, n_dev * mb) + rest))
+
+            args = jax.tree.map(chunked, (p0, v0, pf, vf, keys))
+            out = jax.lax.map(lambda a: jax.vmap(solve_one)(*a), args)
+
+            def unchunk(x):
+                return (x.reshape((C, n_dev, mb) + x.shape[2:])
+                        .transpose((1, 0, 2) + tuple(
+                            range(3, 3 + len(x.shape[2:]))))
+                        .reshape((B,) + x.shape[2:]))
+
+            return jax.tree.map(unchunk, out)
 
         batch_shard = NamedSharding(self.mesh, P(SCENARIO_AXIS))
         self._solve = jax.jit(

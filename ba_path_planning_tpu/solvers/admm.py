@@ -42,7 +42,11 @@ import jax.numpy as jnp
 from ..ops.constraints import (ConstraintBlocks, apply_static,
                                apply_static_adjoint, apply_collision,
                                apply_collision_adjoint)
-from ..utils.config import SolverConfig
+from ..ops.matmul_ops import (apply_static_matmul,
+                              apply_static_adjoint_matmul,
+                              apply_collision_matmul,
+                              apply_collision_adjoint_matmul)
+from ..utils.config import SolverConfig, SolverStatic
 
 _LOOSE_RHO = 1e-6   # rho on disabled (±inf) rows; OSQP's RHO_MIN
 
@@ -53,6 +57,31 @@ class QPData(NamedTuple):
     col_mask: jnp.ndarray      # () or broadcastable — 1.0 enables collision rows
     lower: ConstraintBlocks
     upper: ConstraintBlocks
+
+
+class SolverParams(NamedTuple):
+    """Traced numeric solver settings — swept without recompilation."""
+    rho: jnp.ndarray
+    sigma: jnp.ndarray
+    alpha: jnp.ndarray
+    eps_abs: jnp.ndarray
+    eps_rel: jnp.ndarray
+    cg_tol: jnp.ndarray
+    max_iter: jnp.ndarray          # int32
+    check_interval: jnp.ndarray    # int32
+    cg_iters: jnp.ndarray          # int32
+    polish_cg_iters: jnp.ndarray   # int32
+
+
+def make_solver_params(cfg: SolverConfig, dtype=jnp.float32) -> SolverParams:
+    f = lambda v: jnp.asarray(v, dtype)
+    i = lambda v: jnp.asarray(v, jnp.int32)
+    return SolverParams(rho=f(cfg.rho), sigma=f(cfg.sigma), alpha=f(cfg.alpha),
+                        eps_abs=f(cfg.eps_abs), eps_rel=f(cfg.eps_rel),
+                        cg_tol=f(cfg.cg_tol), max_iter=i(cfg.max_iter),
+                        check_interval=i(cfg.check_interval),
+                        cg_iters=i(cfg.cg_iters),
+                        polish_cg_iters=i(cfg.polish_cg_iters))
 
 
 class QPState(NamedTuple):
@@ -163,18 +192,25 @@ def build_static_normal_inverse(n_steps: int, h: float, cfg: SolverConfig,
 # Operator plumbing
 # ---------------------------------------------------------------------------
 
-def _apply_A(x, eta, E, h, col_mask) -> ConstraintBlocks:
-    jerk, acc, vel, pos = apply_static(x, h)
-    col = apply_collision(x, eta, E, h) * col_mask
+def _apply_A(x, eta, E, h, col_mask, impl: str = "scan") -> ConstraintBlocks:
+    if impl == "matmul":
+        jerk, acc, vel, pos = apply_static_matmul(x, h)
+        col = apply_collision_matmul(x, eta, E, h) * col_mask
+    else:
+        jerk, acc, vel, pos = apply_static(x, h)
+        col = apply_collision(x, eta, E, h) * col_mask
     return ConstraintBlocks(jerk=jerk, acc=acc, vel=vel, pos=pos, col=col)
 
 
-def _apply_AT(y: ConstraintBlocks, eta, E, h, col_mask):
+def _apply_AT(y: ConstraintBlocks, eta, E, h, col_mask, impl: str = "scan"):
+    if impl == "matmul":
+        out = apply_static_adjoint_matmul(y.jerk, y.acc, y.vel, y.pos, h)
+        return out + apply_collision_adjoint_matmul(y.col * col_mask, eta, E, h)
     out = apply_static_adjoint(y.jerk, y.acc, y.vel, y.pos, h)
     return out + apply_collision_adjoint(y.col * col_mask, eta, E, h)
 
 
-def _rho_blocks(data: QPData, cfg: SolverConfig, rho: jnp.ndarray,
+def _rho_blocks(data: QPData, static: SolverStatic, rho: jnp.ndarray,
                 scaling: RowScaling) -> ConstraintBlocks:
     """Per-row rho = rho * d_i^2 (equilibration), equality rows boosted by
     rho_eq_scale, disabled collision rows ~ zeroed.
@@ -184,7 +220,7 @@ def _rho_blocks(data: QPData, cfg: SolverConfig, rho: jnp.ndarray,
     def block_rho(lo, up, d):
         base = rho * d * d
         eq = (lo == up)
-        return jnp.where(eq, cfg.rho_eq_scale * base, base)
+        return jnp.where(eq, static.rho_eq_scale * base, base)
 
     dd = data
     col_base = rho * scaling.col * scaling.col      # (K, 1)
@@ -222,20 +258,23 @@ def _precond_apply(pc: Preconditioner, rho, sigma, r: jnp.ndarray) -> jnp.ndarra
 # ---------------------------------------------------------------------------
 
 def _solve_xupdate(b, x0, eta, E, h, rho: ConstraintBlocks, rho_scalar,
-                   sigma, pc: Preconditioner, cfg):
+                   sigma, pc: Preconditioner, static: SolverStatic,
+                   params: SolverParams):
     """Solve  (2 + sigma) x + A^T diag(rho) A x = b  by PCG from x0."""
 
+    impl = static.operator_impl
+
     def matvec(v):
-        Av = _apply_A(v, eta, E, h, 1.0)   # masking folded into rho
+        Av = _apply_A(v, eta, E, h, 1.0, impl)   # masking folded into rho
         rAv = _tmap(lambda a, r: a * r, Av, rho)
-        return (2.0 + sigma) * v + _apply_AT(rAv, eta, E, h, 1.0)
+        return (2.0 + sigma) * v + _apply_AT(rAv, eta, E, h, 1.0, impl)
 
     r0 = b - matvec(x0)
     z0 = _precond_apply(pc, rho_scalar, sigma, r0)
     p0 = z0
     rz0 = jnp.vdot(r0, z0).real.astype(b.dtype)
     b_norm2 = jnp.vdot(b, b).real.astype(b.dtype)
-    tol2 = (cfg.cg_tol ** 2) * jnp.maximum(b_norm2, 1e-30)
+    tol2 = (params.cg_tol ** 2) * jnp.maximum(b_norm2, 1e-30)
 
     def body(carry):
         x, r, p, rz, it = carry
@@ -253,7 +292,7 @@ def _solve_xupdate(b, x0, eta, E, h, rho: ConstraintBlocks, rho_scalar,
     def cond(carry):
         x, r, p, rz, it = carry
         r2 = jnp.vdot(r, r).real.astype(b.dtype)
-        return jnp.logical_and(it < cfg.cg_iters, r2 > tol2)
+        return jnp.logical_and(it < params.cg_iters, r2 > tol2)
 
     x, r, _, _, it = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0,
                                                      jnp.int32(0)))
@@ -266,32 +305,47 @@ def _solve_xupdate(b, x0, eta, E, h, rho: ConstraintBlocks, rho_scalar,
 
 @partial(jax.jit, static_argnames=("h", "cfg"))
 def solve_qp(data: QPData, E: jnp.ndarray, Minv: Preconditioner, x_init,
-             *, h: float, cfg: SolverConfig) -> QPState:
+             *, h: float, cfg: SolverConfig,
+             params: SolverParams | None = None) -> QPState:
     """One full ADMM solve for a single scenario (vmap over scenarios outside).
 
     x_init: (N, K, 2) warm-start accelerations (reference warm-starts the
     primal only, scp.py:443; we also seed z = A x_init which only helps).
+
+    Convenience wrapper: numeric settings come from ``cfg`` (static).  For
+    recompile-free sweeps call :func:`solve_qp_impl` with traced ``params``.
     """
+    if params is None:
+        params = make_solver_params(cfg, x_init.dtype)
+    return solve_qp_impl(data, E, Minv, x_init, params, h=h,
+                         static=cfg.static_part())
+
+
+@partial(jax.jit, static_argnames=("h", "static"))
+def solve_qp_impl(data: QPData, E: jnp.ndarray, Minv: Preconditioner, x_init,
+                  params: SolverParams, *, h: float,
+                  static: SolverStatic) -> QPState:
     dtype = x_init.dtype
     eta = data.eta
-    sigma = jnp.asarray(cfg.sigma, dtype)
-    alpha = jnp.asarray(cfg.alpha, dtype)
-    rho0 = jnp.asarray(cfg.rho, dtype)
+    sigma = params.sigma
+    alpha = params.alpha
+    rho0 = params.rho
     K = x_init.shape[-2]
     scaling = build_row_scaling(K, h, dtype=dtype)   # trace-time constants
+    impl = static.operator_impl
 
-    Ax0 = _apply_A(x_init, eta, E, h, data.col_mask)
+    Ax0 = _apply_A(x_init, eta, E, h, data.col_mask, impl)
     z0 = _tmap(jnp.clip, Ax0, data.lower, data.upper)
     y0 = _tmap(jnp.zeros_like, z0)
 
     def admm_iter(x, z, y, rho_blocks, rho_s):
         # x-update rhs: sigma x - q + A^T (rho z - y)
         rzy = _tmap(lambda zz, yy, rr: rr * zz - yy, z, y, rho_blocks)
-        b = sigma * x + _apply_AT(rzy, eta, E, h, 1.0)
+        b = sigma * x + _apply_AT(rzy, eta, E, h, 1.0, impl)
         x_tilde, _ = _solve_xupdate(b, x, eta, E, h, rho_blocks, rho_s,
-                                    sigma, Minv, cfg)
+                                    sigma, Minv, static, params)
         x_new = alpha * x_tilde + (1.0 - alpha) * x
-        Ax_tilde = _apply_A(x_tilde, eta, E, h, data.col_mask)
+        Ax_tilde = _apply_A(x_tilde, eta, E, h, data.col_mask, impl)
         z_relaxed = _tmap(lambda azt, zz: alpha * azt + (1.0 - alpha) * zz,
                           Ax_tilde, z)
         z_new = _tmap(lambda zr, yy, rr, lo, up:
@@ -304,36 +358,35 @@ def solve_qp(data: QPData, E: jnp.ndarray, Minv: Preconditioner, x_init,
     def residuals(x, z, y):
         # primal residual measured on the equilibrated rows (OSQP checks the
         # scaled problem): ||d * (Ax - z)||_inf
-        Ax = _apply_A(x, eta, E, h, data.col_mask)
+        Ax = _apply_A(x, eta, E, h, data.col_mask, impl)
         dAx = _tmap(lambda a, d_: a * d_, Ax, scaling)
         dz = _tmap(lambda a, d_: a * d_, z, scaling)
         prim = _inf_norm(_tmap(lambda a, b_: a - b_, dAx, dz))
-        ATy = _apply_AT(y, eta, E, h, data.col_mask)
+        ATy = _apply_AT(y, eta, E, h, data.col_mask, impl)
         dual = jnp.max(jnp.abs(2.0 * x + ATy))
         prim_scale = jnp.maximum(_inf_norm(dAx), _inf_norm(dz))
         dual_scale = jnp.maximum(jnp.max(jnp.abs(2.0 * x)),
                                  jnp.max(jnp.abs(ATy)))
-        eps_prim = cfg.eps_abs + cfg.eps_rel * prim_scale
-        eps_dual = cfg.eps_abs + cfg.eps_rel * dual_scale
+        eps_prim = params.eps_abs + params.eps_rel * prim_scale
+        eps_dual = params.eps_abs + params.eps_rel * dual_scale
         done = jnp.logical_and(prim <= eps_prim, dual <= eps_dual)
         return prim, dual, done, prim / jnp.maximum(prim_scale, 1e-10), \
             dual / jnp.maximum(dual_scale, 1e-10)
 
-    n_outer = cfg.max_iter // cfg.check_interval
-
     def outer_body(carry):
         x, z, y, rho, it, prim, dual, done = carry
-        rho_b = _rho_blocks(data, cfg, rho, scaling)
+        rho_b = _rho_blocks(data, static, rho, scaling)
 
         def inner(i, xzys):
             x_, z_, y_ = xzys
             return admm_iter(x_, z_, y_, rho_b, rho)
 
-        x, z, y = jax.lax.fori_loop(0, cfg.check_interval, inner, (x, z, y))
+        x, z, y = jax.lax.fori_loop(0, params.check_interval, inner,
+                                    (x, z, y))
         prim, dual, done, pr, dr = residuals(x, z, y)
 
         # OSQP-style adaptive rho: rescale by sqrt of relative residual ratio.
-        if cfg.adaptive_rho:
+        if static.adaptive_rho:
             ratio = jnp.sqrt(pr / jnp.maximum(dr, 1e-12))
             new_rho = jnp.clip(rho * ratio, 1e-6, 1e6)
             # only adapt on large imbalance (OSQP: factor 5); rescale y.
@@ -343,11 +396,11 @@ def solve_qp(data: QPData, E: jnp.ndarray, Minv: Preconditioner, x_init,
             y = _tmap(lambda v: v * scale, y)
             rho = new_rho
 
-        return x, z, y, rho, it + cfg.check_interval, prim, dual, done
+        return x, z, y, rho, it + params.check_interval, prim, dual, done
 
     def outer_cond(carry):
         *_, it, prim, dual, done = carry
-        return jnp.logical_and(it < cfg.max_iter, jnp.logical_not(done))
+        return jnp.logical_and(it < params.max_iter, jnp.logical_not(done))
 
     init = (x_init, z0, y0, rho0, jnp.int32(0),
             jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
@@ -355,9 +408,9 @@ def solve_qp(data: QPData, E: jnp.ndarray, Minv: Preconditioner, x_init,
     x, z, y, rho, it, prim, dual, done = jax.lax.while_loop(
         outer_cond, outer_body, init)
 
-    if cfg.polish:
-        x, prim, dual = _polish(x, y, data, E, Minv, h=h, cfg=cfg,
-                                prim0=prim, dual0=dual)
+    if static.polish:
+        x, prim, dual = _polish(x, y, data, E, Minv, h=h, static=static,
+                                params=params, prim0=prim, dual0=dual)
 
     return QPState(x=x, z=z, y=y, iters=it, prim_res=prim, dual_res=dual,
                    converged=done)
@@ -367,8 +420,8 @@ def solve_qp(data: QPData, E: jnp.ndarray, Minv: Preconditioner, x_init,
 # Polishing: exact solve on the detected active set (OSQP 'polish' analogue)
 # ---------------------------------------------------------------------------
 
-def _polish(x, y: ConstraintBlocks, data: QPData, E, Minv, *, h, cfg,
-            prim0, dual0):
+def _polish(x, y: ConstraintBlocks, data: QPData, E, Minv, *, h,
+            static: SolverStatic, params: SolverParams, prim0, dual0):
     """Refine x by solving  min ||x||^2  s.t.  A_act x = b_act  on the active set.
 
     Active rows are detected from dual signs (y < 0 -> lower bound active,
@@ -396,10 +449,12 @@ def _polish(x, y: ConstraintBlocks, data: QPData, E, Minv, *, h, cfg,
 
     delta = jnp.asarray(1e-9, dtype)
 
+    impl = static.operator_impl
+
     def G(mu: ConstraintBlocks) -> ConstraintBlocks:
         mu_m = _tmap(lambda v, m: v * m, mu, mask)
-        v = _apply_AT(mu_m, data.eta, E, h, 1.0)
-        Av = _apply_A(v, data.eta, E, h, 1.0)
+        v = _apply_AT(mu_m, data.eta, E, h, 1.0, impl)
+        Av = _apply_A(v, data.eta, E, h, 1.0, impl)
         return _tmap(lambda a, m, u_: a * m + delta * u_, Av, mask, mu)
 
     def tdot(a, b_):
@@ -426,23 +481,24 @@ def _polish(x, y: ConstraintBlocks, data: QPData, E, Minv, *, h, cfg,
         mu, *_ = jax.lax.fori_loop(0, n_iters, body, (mu0, r0, p0, rr0))
         return mu
 
-    mu = cg(b_act, cfg.polish_cg_iters)
+    mu = cg(b_act, params.polish_cg_iters)
     # one step of iterative refinement against the unregularized system
     resid = _tmap(lambda b_, g_: b_ - g_, b_act, G(mu))
-    mu = _tmap(lambda m_, d_: m_ + d_, mu, cg(resid, cfg.polish_cg_iters))
+    mu = _tmap(lambda m_, d_: m_ + d_, mu,
+               cg(resid, params.polish_cg_iters))
 
     mu_m = _tmap(lambda v, m: v * m, mu, mask)
-    x_pol = _apply_AT(mu_m, data.eta, E, h, 1.0)
+    x_pol = _apply_AT(mu_m, data.eta, E, h, 1.0, impl)
 
     def kkt_residuals(xv, yv):
-        Ax = _apply_A(xv, data.eta, E, h, data.col_mask)
+        Ax = _apply_A(xv, data.eta, E, h, data.col_mask, impl)
         viol = _tmap(lambda a, lo, up: jnp.maximum(
             jnp.maximum(jnp.where(jnp.isfinite(lo), lo - a, 0.0),
                         jnp.where(jnp.isfinite(up), a - up, 0.0)), 0.0),
             Ax, data.lower, data.upper)
         prim = _inf_norm(viol)
         dual = jnp.max(jnp.abs(2.0 * xv + _apply_AT(yv, data.eta, E, h,
-                                                    data.col_mask)))
+                                                    data.col_mask, impl)))
         return prim, dual
 
     y_pol = _tmap(lambda m_: -2.0 * m_, mu_m)

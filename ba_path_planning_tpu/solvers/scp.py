@@ -36,8 +36,9 @@ from ..ops.collisions import (PairIndex, check_feasible, collision_lower_bounds,
                               linearize, make_pair_index)
 from ..ops.constraints import ConstraintBlocks, static_bounds
 from ..ops.rollout import rollout
-from ..utils.config import ProblemConfig, SolverConfig
-from .admm import QPData, build_static_normal_inverse, solve_qp
+from ..utils.config import ProblemConfig, SolverConfig, SolverStatic
+from .admm import (QPData, SolverParams, build_static_normal_inverse,
+                   make_solver_params, solve_qp_impl)
 
 # Status codes (per-scenario, carried in the batch)
 STATUS_FEASIBLE_INITIAL = 0   # initial QP already collision-free, loop skipped
@@ -79,12 +80,15 @@ class SCPEngine:
         self.Minv = build_static_normal_inverse(problem.n_steps,
                                                 problem.time_step,
                                                 self.solver, dtype=dtype)
+        self.solver_static = self.solver.static_part()
+        self.solver_params = make_solver_params(self.solver, dtype)
 
     def solve_fn(self):
         """The raw (un-jitted) per-scenario solve closure, for callers that
         compose their own jit/vmap/shard_map around it."""
-        return partial(_scp_solve, pairs=self.pairs, Minv=self.Minv,
-                       problem=self.problem, solver=self.solver)
+        return partial(_scp_solve, params=self.solver_params,
+                       pairs=self.pairs, Minv=self.Minv,
+                       problem=self.problem, solver=self.solver_static)
 
     # -- single scenario ---------------------------------------------------
 
@@ -93,22 +97,26 @@ class SCPEngine:
         if key is None:
             key = jax.random.key(0)
         args = [jnp.asarray(a, dtype=self.dtype) for a in (p0, v0, pf, vf)]
-        return _scp_solve(*args, key, pairs=self.pairs, Minv=self.Minv,
-                          problem=self.problem, solver=self.solver)
+        return _scp_solve(*args, key, params=self.solver_params,
+                          pairs=self.pairs, Minv=self.Minv,
+                          problem=self.problem, solver=self.solver_static)
 
     # -- batched -----------------------------------------------------------
 
     def solve_batch(self, p0, v0, pf, vf, keys) -> SCPResult:
         """All state arrays (B, N, 2); keys (B,) PRNG keys.  vmapped solve."""
         args = [jnp.asarray(a, dtype=self.dtype) for a in (p0, v0, pf, vf)]
-        fn = jax.vmap(partial(_scp_solve, pairs=self.pairs, Minv=self.Minv,
-                              problem=self.problem, solver=self.solver))
+        fn = jax.vmap(partial(_scp_solve, params=self.solver_params,
+                              pairs=self.pairs, Minv=self.Minv,
+                              problem=self.problem,
+                              solver=self.solver_static))
         return fn(*args, keys)
 
 
 @partial(jax.jit, static_argnames=("problem", "solver"))
-def _scp_solve(p0, v0, pf, vf, key, *, pairs: PairIndex, Minv,
-               problem: ProblemConfig, solver: SolverConfig) -> SCPResult:
+def _scp_solve(p0, v0, pf, vf, key, *, params: SolverParams,
+               pairs: PairIndex, Minv, problem: ProblemConfig,
+               solver: SolverStatic) -> SCPResult:
     N = problem.n_vehicles
     K = problem.n_steps
     P = problem.n_pairs
@@ -128,7 +136,8 @@ def _scp_solve(p0, v0, pf, vf, key, *, pairs: PairIndex, Minv,
                    lower=ConstraintBlocks(col=col_lo_off, **lo_s),
                    upper=ConstraintBlocks(col=col_up, **up_s))
     x0 = jnp.zeros((N, K, 2), dtype=dtype)
-    qp0 = solve_qp(data0, pairs.E, Minv, x0, h=h, cfg=solver)
+    qp0 = solve_qp_impl(data0, pairs.E, Minv, x0, params, h=h,
+                        static=solver)
     a = qp0.x
 
     pos_init, _ = rollout(a, p0, v0, h)
@@ -145,7 +154,8 @@ def _scp_solve(p0, v0, pf, vf, key, *, pairs: PairIndex, Minv,
         data = QPData(eta=eta, col_mask=jnp.asarray(1.0, dtype),
                       lower=ConstraintBlocks(col=col_lo, **lo_s),
                       upper=ConstraintBlocks(col=col_up, **up_s))
-        qp = solve_qp(data, pairs.E, Minv, a, h=h, cfg=solver)
+        qp = solve_qp_impl(data, pairs.E, Minv, a, params, h=h,
+                           static=solver)
         a_new = qp.x
         step = jnp.linalg.norm((a_new - a).reshape(-1))
         denom = jnp.maximum(jnp.linalg.norm(a.reshape(-1)), 1e-30)

@@ -68,11 +68,25 @@ class ProblemConfig:
 
 
 @dataclass(frozen=True)
+class SolverStatic:
+    """Structural solver options — part of the jit static cache key.
+    Changing these recompiles; changing SolverConfig numerics does not."""
+    rho_eq_scale: float = 1e3        # OSQP: rho boost on equality rows
+    adaptive_rho: bool = True        # OSQP-style residual-balancing rho updates
+    polish: bool = True              # active-set KKT polish after ADMM
+    operator_impl: str = "scan"      # "scan" (VPU prefix sums) | "matmul" (MXU)
+
+
+@dataclass(frozen=True)
 class SolverConfig:
     """Batched ADMM QP solver settings (OSQP-compatible defaults).
 
     The reference delegates to OSQP with default settings plus
     ``warm_start=True, max_iter=10000`` (scp.py:360, 442).
+
+    Numeric fields are passed to the compiled solver as *traced* scalars, so
+    sweeping them reuses one executable; structural fields (see
+    :class:`SolverStatic`) are static and trigger recompilation.
     """
     rho: float = 0.1
     sigma: float = 1e-6
@@ -87,9 +101,16 @@ class SolverConfig:
     cg_tol: float = 1e-7             # PCG relative tolerance (early exit)
     polish: bool = True              # active-set KKT polish after ADMM
     polish_cg_iters: int = 40        # CG iterations for the polish solve
+    operator_impl: str = "scan"      # "scan" (VPU prefix sums) | "matmul" (MXU)
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)
+
+    def static_part(self) -> SolverStatic:
+        return SolverStatic(rho_eq_scale=self.rho_eq_scale,
+                            adaptive_rho=self.adaptive_rho,
+                            polish=self.polish,
+                            operator_impl=self.operator_impl)
 
 
 def load_yaml(path: str) -> dict[str, Any]:
