@@ -1,0 +1,137 @@
+"""Multi-host execution support.
+
+The batched SCP workload is scenario-parallel with zero steady-state
+communication, so multi-host scaling is pure data parallelism over DCN-
+connected hosts: ``jax.distributed.initialize`` builds the global runtime,
+the scenario mesh spans every chip in the slice, and each host feeds /
+reads only its addressable shard.  This module wraps that plumbing plus the
+scaling-efficiency report mandated by BASELINE.md (1 chip / 1 host / N hosts).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .mesh import SCENARIO_AXIS, ShardedSCPSolver, make_mesh
+from ..scenarios import generate_scenario_batch
+from ..utils.config import ProblemConfig, SolverConfig
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Initialize the multi-host runtime (no-op on a single process).
+
+    On TPU pods the three arguments are auto-detected from the environment;
+    pass them explicitly for other fabrics.
+    """
+    if num_processes is not None and num_processes > 1 or coordinator_address:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def host_local_slice(total_batch: int) -> tuple[int, int]:
+    """[lo, hi) of the global scenario batch owned by this host."""
+    n_proc = jax.process_count()
+    per = total_batch // n_proc
+    pid = jax.process_index()
+    return pid * per, (pid + 1) * per
+
+
+def make_global_batch(host_arrays, mesh=None):
+    """Assemble a globally-sharded array from per-host shards.
+
+    ``host_arrays``: pytree of this host's (B_local, ...) arrays.  Returns a
+    pytree of global (B_global, ...) jax.Arrays sharded over the scenario
+    mesh axis (uses ``jax.make_array_from_process_local_data``).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = mesh if mesh is not None else make_mesh()
+    sharding = NamedSharding(mesh, P(SCENARIO_AXIS))
+
+    def build(x):
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x),
+                                                      global_shape)
+
+    return jax.tree.map(build, host_arrays)
+
+
+def scaling_report(problem: ProblemConfig,
+                   solver: SolverConfig | None = None,
+                   per_chip_batch: int = 128, seed: int = 0,
+                   dtype=jnp.float32) -> dict:
+    """Measure solves/s at 1 chip and all chips (and thus all hosts when run
+    under ``jax.distributed``); returns the efficiency record for BASELINE.md.
+    """
+    out = {"n_processes": jax.process_count(),
+           "n_devices_total": jax.device_count(),
+           "per_chip_batch": per_chip_batch,
+           "configs": {}}
+
+    device_sets = {"1chip": jax.devices()[:1]}
+    if jax.device_count() > 1:
+        device_sets[f"{jax.device_count()}chips"] = jax.devices()
+
+    for label, devices in device_sets.items():
+        mesh = make_mesh(devices)
+        B = per_chip_batch * len(devices)
+        solver_sh = ShardedSCPSolver(problem, solver, mesh=mesh, dtype=dtype)
+        sc = generate_scenario_batch(jax.random.key(seed), B,
+                                     n_vehicles=problem.n_vehicles,
+                                     min_distance=problem.min_distance)
+        v0 = jnp.zeros((B, problem.n_vehicles, 2), dtype)
+        keys = jax.random.split(jax.random.key(seed + 1), B)
+        res = solver_sh.solve(sc.initial, v0, sc.final, v0, keys)
+        jax.block_until_ready(res)          # compile + warmup
+        t0 = time.perf_counter()
+        res = solver_sh.solve(sc.initial, v0, sc.final, v0, keys)
+        jax.block_until_ready(res)
+        dt = time.perf_counter() - t0
+        ok = int(np.asarray(res.feasible_final).sum())
+        out["configs"][label] = {
+            "devices": len(devices), "batch": B, "wall_sec": dt,
+            "solves_per_sec": B / dt,
+            "collision_free_per_sec": ok / dt,
+            "collision_free_frac": ok / B,
+        }
+
+    base = out["configs"]["1chip"]["solves_per_sec"]
+    for label, rec in out["configs"].items():
+        ideal = base * rec["devices"]
+        rec["scaling_efficiency"] = (rec["solves_per_sec"] / ideal
+                                     if ideal else 1.0)
+    return out
+
+
+def main(argv=None) -> int:
+    import argparse
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--n-vehicles", type=int, default=20)
+    p.add_argument("--time-horizon", type=float, default=10.0)
+    p.add_argument("--time-step", type=float, default=0.2)
+    p.add_argument("--min-distance", type=float, default=0.8)
+    p.add_argument("--per-chip-batch", type=int, default=128)
+    p.add_argument("--out", type=str, default=None)
+    args = p.parse_args(argv)
+    problem = ProblemConfig(n_vehicles=args.n_vehicles,
+                            time_horizon=args.time_horizon,
+                            time_step=args.time_step,
+                            min_distance=args.min_distance)
+    rec = scaling_report(problem, per_chip_batch=args.per_chip_batch)
+    text = json.dumps(rec, indent=2)
+    print(text)
+    if args.out:
+        from pathlib import Path
+        Path(args.out).write_text(text)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

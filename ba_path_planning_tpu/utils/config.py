@@ -39,6 +39,13 @@ class ProblemConfig:
     space_dims: tuple[float, float, float, float] = (0.0, 0.0, 20.0, 20.0)
     max_iterations: int = 15
     convergence_tolerance: float = 1.5e-2   # scp.py:52
+    # SCP loop stopping rule:
+    #   "reference": step-norm convergence only, exactly scp.py:152-166 (the
+    #     reference never re-checks feasibility once iterating)
+    #   "feasible": keep iterating until the iterate's trajectory is actually
+    #     collision-free (or max_iterations) — goal-directed; usually exits
+    #     earlier AND yields far more collision-free solutions
+    stop_mode: str = "reference"
     vel_min: float = -2.0
     vel_max: float = 2.0
     acc_min: float = -15.0
