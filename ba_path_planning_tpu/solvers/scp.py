@@ -144,8 +144,10 @@ def _scp_solve(p0, v0, pf, vf, key, *, params: SolverParams,
     feasible_initial = check_feasible(pos_init, pairs, R)
 
     # ---- phase 2: SCP iterations (scp.py:152-166)
+    goal_feasible = problem.stop_mode == "feasible"
+
     def body(carry):
-        a, it, converged, rel, qp_iters, qp_ok = carry
+        a, it, converged, stop, rel, qp_iters, qp_ok = carry
         prev_pos, _ = rollout(a, p0, v0, h)
         subkey = jax.random.fold_in(key, it)
         eta, dist = linearize(prev_pos, pairs, subkey)
@@ -161,20 +163,25 @@ def _scp_solve(p0, v0, pf, vf, key, *, params: SolverParams,
         denom = jnp.maximum(jnp.linalg.norm(a.reshape(-1)), 1e-30)
         rel_step = step / denom
         converged = rel_step <= problem.convergence_tolerance
-        return (a_new, it + 1, converged, rel_step,
+        if goal_feasible:
+            new_pos, _ = rollout(a_new, p0, v0, h)
+            stop = check_feasible(new_pos, pairs, R)
+        else:
+            stop = converged
+        return (a_new, it + 1, converged, stop, rel_step,
                 qp_iters + qp.iters, jnp.logical_and(qp_ok, qp.converged))
 
     def cond(carry):
-        _, it, converged, *_ = carry
+        _, it, _, stop, *_ = carry
         return jnp.logical_and(
             it < problem.max_iterations,
-            jnp.logical_and(jnp.logical_not(converged),
+            jnp.logical_and(jnp.logical_not(stop),
                             jnp.logical_not(feasible_initial)))
 
-    init = (a, jnp.int32(0), jnp.asarray(False), jnp.asarray(jnp.inf, dtype),
-            qp0.iters, qp0.converged)
-    a, iters, converged, rel_step, qp_iters, qp_ok = jax.lax.while_loop(
-        cond, body, init)
+    init = (a, jnp.int32(0), jnp.asarray(False), jnp.asarray(False),
+            jnp.asarray(jnp.inf, dtype), qp0.iters, qp0.converged)
+    a, iters, converged, _stop, rel_step, qp_iters, qp_ok = \
+        jax.lax.while_loop(cond, body, init)
 
     # ---- final rollout (scp.py:168-180)
     positions, velocities = rollout(a, p0, v0, h)

@@ -127,6 +127,22 @@ def test_single_vehicle_no_pairs():
     assert int(res.iterations) == 0
 
 
+def test_feasible_stop_mode():
+    """stop_mode='feasible' iterates until collision-free; on a clean
+    crossing it matches or beats reference-mode feasibility."""
+    p0, v0, pf, vf = _crossing_scenario()
+    base = ProblemConfig(n_vehicles=2, time_horizon=10.0, time_step=0.5,
+                         min_distance=1.0, max_iterations=15)
+    eng_ref = SCPEngine(base, _tight_solver(), dtype=jnp.float64)
+    eng_feas = SCPEngine(base.replace(stop_mode="feasible"), _tight_solver(),
+                         dtype=jnp.float64)
+    r_ref = eng_ref.solve(p0, v0, pf, vf, key=jax.random.key(0))
+    r_feas = eng_feas.solve(p0, v0, pf, vf, key=jax.random.key(0))
+    assert bool(r_feas.feasible_final)
+    # goal-directed mode never needs more iterations than reference mode here
+    assert int(r_feas.iterations) <= int(r_ref.iterations)
+
+
 def test_scp_class_api():
     """Reference-compatible class facade produces the same trajectories dict."""
     from ba_path_planning_tpu.solvers.scp import SCP
