@@ -67,6 +67,7 @@ class SolverParams(NamedTuple):
     eps_abs: jnp.ndarray
     eps_rel: jnp.ndarray
     cg_tol: jnp.ndarray
+    col_penalty: jnp.ndarray       # exact-penalty weight on collision rows
     max_iter: jnp.ndarray          # int32
     check_interval: jnp.ndarray    # int32
     cg_iters: jnp.ndarray          # int32
@@ -78,7 +79,8 @@ def make_solver_params(cfg: SolverConfig, dtype=jnp.float32) -> SolverParams:
     i = lambda v: jnp.asarray(v, jnp.int32)
     return SolverParams(rho=f(cfg.rho), sigma=f(cfg.sigma), alpha=f(cfg.alpha),
                         eps_abs=f(cfg.eps_abs), eps_rel=f(cfg.eps_rel),
-                        cg_tol=f(cfg.cg_tol), max_iter=i(cfg.max_iter),
+                        cg_tol=f(cfg.cg_tol), col_penalty=f(cfg.col_penalty),
+                        max_iter=i(cfg.max_iter),
                         check_interval=i(cfg.check_interval),
                         cg_iters=i(cfg.cg_iters),
                         polish_cg_iters=i(cfg.polish_cg_iters))
@@ -351,6 +353,19 @@ def solve_qp_impl(data: QPData, E: jnp.ndarray, Minv: Preconditioner, x_init,
         z_new = _tmap(lambda zr, yy, rr, lo, up:
                       jnp.clip(zr + yy / rr, lo, up),
                       z_relaxed, y, rho_blocks, data.lower, data.upper)
+        # Collision rows support an exact-penalty soft mode: the hard
+        # one-sided constraint  A_col x >= l  becomes the penalty
+        # lambda * (l - z)_+, whose prox replaces the projection.  With
+        # lambda = inf this reduces to the hard clip (reference semantics);
+        # finite lambda keeps the subproblem well-posed when the SCP
+        # linearization is infeasible (the reference's OSQP just returns a
+        # garbage iterate with a warning there, scp.py:446-449).
+        w_col = z_relaxed.col + y.col / rho_blocks.col
+        lam = params.col_penalty
+        z_col = jnp.where(
+            w_col >= data.lower.col, w_col,
+            jnp.minimum(w_col + lam / rho_blocks.col, data.lower.col))
+        z_new = z_new._replace(col=z_col)
         y_new = _tmap(lambda yy, zr, zn, rr: yy + rr * (zr - zn),
                       y, z_relaxed, z_new, rho_blocks)
         return x_new, z_new, y_new
@@ -441,8 +456,11 @@ def _polish(x, y: ConstraintBlocks, data: QPData, E, Minv, *, h,
         return jnp.where(jnp.isfinite(b), b, 0.0)
 
     mask = _tmap(act_mask, y)
-    # never activate disabled collision rows
-    mask = mask._replace(col=mask.col * jnp.broadcast_to(
+    # never activate disabled collision rows; in soft (penalty) mode also
+    # skip rows whose dual sits at the penalty bound — they are genuinely
+    # violated, and pinning them to the bound would poison the KKT solve
+    soft_ok = (jnp.abs(y.col) < 0.999 * params.col_penalty).astype(dtype)
+    mask = mask._replace(col=mask.col * soft_ok * jnp.broadcast_to(
         data.col_mask, mask.col.shape).astype(dtype))
     b_act = _tmap(act_bound, y, data.lower, data.upper)
     b_act = _tmap(lambda b_, m: b_ * m, b_act, mask)

@@ -109,6 +109,10 @@ class SolverConfig:
     polish: bool = True              # active-set KKT polish after ADMM
     polish_cg_iters: int = 40        # CG iterations for the polish solve
     operator_impl: str = "scan"      # "scan" (VPU prefix sums) | "matmul" (MXU)
+    # Exact-penalty weight on collision rows: inf = hard constraints
+    # (reference semantics); finite = soft rows that keep infeasible SCP
+    # linearizations well-posed (bench/production mode)
+    col_penalty: float = float("inf")
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)
