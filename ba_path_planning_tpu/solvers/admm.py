@@ -68,6 +68,8 @@ class SolverParams(NamedTuple):
     eps_rel: jnp.ndarray
     cg_tol: jnp.ndarray
     col_penalty: jnp.ndarray       # exact-penalty weight on collision rows
+    col_rho_boost: jnp.ndarray     # extra rho factor on collision rows
+    col_margin: jnp.ndarray        # constraint tightening added to R
     max_iter: jnp.ndarray          # int32
     check_interval: jnp.ndarray    # int32
     cg_iters: jnp.ndarray          # int32
@@ -80,6 +82,8 @@ def make_solver_params(cfg: SolverConfig, dtype=jnp.float32) -> SolverParams:
     return SolverParams(rho=f(cfg.rho), sigma=f(cfg.sigma), alpha=f(cfg.alpha),
                         eps_abs=f(cfg.eps_abs), eps_rel=f(cfg.eps_rel),
                         cg_tol=f(cfg.cg_tol), col_penalty=f(cfg.col_penalty),
+                        col_rho_boost=f(cfg.col_rho_boost),
+                        col_margin=f(cfg.collision_margin),
                         max_iter=i(cfg.max_iter),
                         check_interval=i(cfg.check_interval),
                         cg_iters=i(cfg.cg_iters),
@@ -213,7 +217,8 @@ def _apply_AT(y: ConstraintBlocks, eta, E, h, col_mask, impl: str = "scan"):
 
 
 def _rho_blocks(data: QPData, static: SolverStatic, rho: jnp.ndarray,
-                scaling: RowScaling) -> ConstraintBlocks:
+                scaling: RowScaling,
+                col_boost: jnp.ndarray = 1.0) -> ConstraintBlocks:
     """Per-row rho = rho * d_i^2 (equilibration), equality rows boosted by
     rho_eq_scale, disabled collision rows ~ zeroed.
 
@@ -225,7 +230,7 @@ def _rho_blocks(data: QPData, static: SolverStatic, rho: jnp.ndarray,
         return jnp.where(eq, static.rho_eq_scale * base, base)
 
     dd = data
-    col_base = rho * scaling.col * scaling.col      # (K, 1)
+    col_base = col_boost * rho * scaling.col * scaling.col      # (K, 1)
     col_rho = jnp.where(dd.col_mask > 0, col_base, _LOOSE_RHO)
     col_rho = jnp.broadcast_to(col_rho, dd.lower.col.shape)
     return ConstraintBlocks(
@@ -319,13 +324,14 @@ def solve_qp(data: QPData, E: jnp.ndarray, Minv: Preconditioner, x_init,
     """
     if params is None:
         params = make_solver_params(cfg, x_init.dtype)
-    return solve_qp_impl(data, E, Minv, x_init, params, h=h,
+    return solve_qp_impl(data, E, Minv, x_init, params, None, h=h,
                          static=cfg.static_part())
 
 
 @partial(jax.jit, static_argnames=("h", "static"))
 def solve_qp_impl(data: QPData, E: jnp.ndarray, Minv: Preconditioner, x_init,
-                  params: SolverParams, *, h: float,
+                  params: SolverParams,
+                  y_init: ConstraintBlocks | None = None, *, h: float,
                   static: SolverStatic) -> QPState:
     dtype = x_init.dtype
     eta = data.eta
@@ -338,7 +344,11 @@ def solve_qp_impl(data: QPData, E: jnp.ndarray, Minv: Preconditioner, x_init,
 
     Ax0 = _apply_A(x_init, eta, E, h, data.col_mask, impl)
     z0 = _tmap(jnp.clip, Ax0, data.lower, data.upper)
-    y0 = _tmap(jnp.zeros_like, z0)
+    # dual warm start: across SCP iterations the constraint rows barely move,
+    # so the previous solve's duals are excellent initializers (the reference
+    # re-setups OSQP fresh each iteration and warm-starts the primal only,
+    # scp.py:441-443 — this is strictly better, same fixed point)
+    y0 = (_tmap(jnp.zeros_like, z0) if y_init is None else y_init)
 
     def admm_iter(x, z, y, rho_blocks, rho_s):
         # x-update rhs: sigma x - q + A^T (rho z - y)
@@ -390,7 +400,8 @@ def solve_qp_impl(data: QPData, E: jnp.ndarray, Minv: Preconditioner, x_init,
 
     def outer_body(carry):
         x, z, y, rho, it, prim, dual, done = carry
-        rho_b = _rho_blocks(data, static, rho, scaling)
+        rho_b = _rho_blocks(data, static, rho, scaling,
+                            params.col_rho_boost)
 
         def inner(i, xzys):
             x_, z_, y_ = xzys
@@ -463,17 +474,24 @@ def _polish(x, y: ConstraintBlocks, data: QPData, E, Minv, *, h,
     mask = mask._replace(col=mask.col * soft_ok * jnp.broadcast_to(
         data.col_mask, mask.col.shape).astype(dtype))
     b_act = _tmap(act_bound, y, data.lower, data.upper)
-    b_act = _tmap(lambda b_, m: b_ * m, b_act, mask)
+
+    # Equilibrate the active-set Gram system: raw row norms span ~1e-2..1e1,
+    # so CG on A_act A_act^T stalls; solving (D G D + delta) nu = D b with
+    # D = 1/row-norm conditions it (x = A_act^T D nu is unchanged algebra).
+    K = x.shape[-2]
+    dscale = build_row_scaling(K, h, dtype=dtype)
+    md = _tmap(lambda m, d_: m * d_, mask, dscale)     # mask * D fused
+    b_act = _tmap(lambda b_, m: b_ * m, b_act, md)
 
     delta = jnp.asarray(1e-9, dtype)
 
     impl = static.operator_impl
 
     def G(mu: ConstraintBlocks) -> ConstraintBlocks:
-        mu_m = _tmap(lambda v, m: v * m, mu, mask)
+        mu_m = _tmap(lambda v, m: v * m, mu, md)
         v = _apply_AT(mu_m, data.eta, E, h, 1.0, impl)
         Av = _apply_A(v, data.eta, E, h, 1.0, impl)
-        return _tmap(lambda a, m, u_: a * m + delta * u_, Av, mask, mu)
+        return _tmap(lambda a, m, u_: a * m + delta * u_, Av, md, mu)
 
     def tdot(a, b_):
         return jnp.sum(jnp.stack(jax.tree.leaves(
@@ -505,7 +523,7 @@ def _polish(x, y: ConstraintBlocks, data: QPData, E, Minv, *, h,
     mu = _tmap(lambda m_, d_: m_ + d_, mu,
                cg(resid, params.polish_cg_iters))
 
-    mu_m = _tmap(lambda v, m: v * m, mu, mask)
+    mu_m = _tmap(lambda v, m: v * m, mu, md)
     x_pol = _apply_AT(mu_m, data.eta, E, h, 1.0, impl)
 
     def kkt_residuals(xv, yv):

@@ -147,16 +147,19 @@ def _scp_solve(p0, v0, pf, vf, key, *, params: SolverParams,
     goal_feasible = problem.stop_mode == "feasible"
 
     def body(carry):
-        a, it, converged, stop, rel, qp_iters, qp_ok = carry
+        a, y_prev, it, converged, stop, rel, qp_iters, qp_ok = carry
         prev_pos, _ = rollout(a, p0, v0, h)
         subkey = jax.random.fold_in(key, it)
         eta, dist = linearize(prev_pos, pairs, subkey)
+        # constraint tightening: enforce R + margin so QP-accuracy noise
+        # still lands above the true R (feasibility checked at true R)
         col_lo = collision_lower_bounds(eta, dist, prev_pos, p0, v0, pairs,
-                                        h=h, min_distance=R)
+                                        h=h,
+                                        min_distance=R + params.col_margin)
         data = QPData(eta=eta, col_mask=jnp.asarray(1.0, dtype),
                       lower=ConstraintBlocks(col=col_lo, **lo_s),
                       upper=ConstraintBlocks(col=col_up, **up_s))
-        qp = solve_qp_impl(data, pairs.E, Minv, a, params, h=h,
+        qp = solve_qp_impl(data, pairs.E, Minv, a, params, y_prev, h=h,
                            static=solver)
         a_new = qp.x
         step = jnp.linalg.norm((a_new - a).reshape(-1))
@@ -168,19 +171,19 @@ def _scp_solve(p0, v0, pf, vf, key, *, params: SolverParams,
             stop = check_feasible(new_pos, pairs, R)
         else:
             stop = converged
-        return (a_new, it + 1, converged, stop, rel_step,
+        return (a_new, qp.y, it + 1, converged, stop, rel_step,
                 qp_iters + qp.iters, jnp.logical_and(qp_ok, qp.converged))
 
     def cond(carry):
-        _, it, _, stop, *_ = carry
+        _, _, it, _, stop, *_ = carry
         return jnp.logical_and(
             it < problem.max_iterations,
             jnp.logical_and(jnp.logical_not(stop),
                             jnp.logical_not(feasible_initial)))
 
-    init = (a, jnp.int32(0), jnp.asarray(False), jnp.asarray(False),
+    init = (a, qp0.y, jnp.int32(0), jnp.asarray(False), jnp.asarray(False),
             jnp.asarray(jnp.inf, dtype), qp0.iters, qp0.converged)
-    a, iters, converged, _stop, rel_step, qp_iters, qp_ok = \
+    a, _y, iters, converged, _stop, rel_step, qp_iters, qp_ok = \
         jax.lax.while_loop(cond, body, init)
 
     # ---- final rollout (scp.py:168-180)

@@ -113,6 +113,13 @@ class SolverConfig:
     # (reference semantics); finite = soft rows that keep infeasible SCP
     # linearizations well-posed (bench/production mode)
     col_penalty: float = float("inf")
+    # Extra rho factor on collision rows: > 1 enforces them more tightly at
+    # a given termination tolerance (the feasibility slack is only 1 cm)
+    col_rho_boost: float = 1.0
+    # Constraint tightening: solve collision rows with R + margin so solver
+    # noise lands above the true R (robust-MPC-style); feasibility is still
+    # checked at the true R - 0.01
+    collision_margin: float = 0.0
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)
