@@ -1,0 +1,571 @@
+"""State-space ADMM QP solver with exact block-tridiagonal x-updates.
+
+The acceleration-space solver (``admm.py``) applies constraints matrix-free
+but pays for it in the x-update: collision rows couple all timesteps through
+the dense Toeplitz rollout operator, so PCG with a collision-blind
+preconditioner needs thousands of ADMM iterations to high accuracy.
+
+This solver reformulates the same QP over the full state trajectory —
+variables a[0..K-1], p[1..K], v[1..K] per vehicle/axis — with the exact
+discrete dynamics (SURVEY 3.2, ``/root/reference/.../scp.py:371-397``)
+
+    v[k+1] = v[k] + h a[k]
+    p[k+1] = p[k] + h v[k] + (h^2/2) a[k]
+
+as banded equality rows.  Now EVERY constraint is time-local:
+
+  * dynamics rows couple only adjacent super-blocks u_k = (a_k, p_{k+1}, v_{k+1})
+  * jerk rows couple a_k, a_{k+1} (adjacent)
+  * velocity/position boxes and terminal equalities are IDENTITY rows
+  * collision rows touch only p_k — one timestep each, and their RHS no
+    longer folds in any rollout constants (scp.py:536-550 becomes just
+    R + linearization term)
+
+so the ADMM x-update normal matrix  M = P + sigma I + A^T rho A  is
+block-tridiagonal with K blocks of size 6N.  A batched block-Cholesky scan
+(dense 6N x 6N Cholesky / triangular-solve / matmul per step — MXU work)
+factorizes it EXACTLY once per QP, every x-update is two banded substitution
+sweeps, and ADMM converges in OSQP-like iteration counts at any accuracy.
+Row norms are all O(1) here, so conditioning is mild and float32 suffices.
+
+The QP solved is algebraically the SAME problem as admm.py's (dynamics
+eliminated vs. enforced); solutions agree to solver tolerance, which the
+tests check against both the dense scipy oracle and the v1 solver.
+
+Final trajectories are still produced by rolling out the accelerations with
+the exact prefix-sum dynamics, so reported trajectories satisfy the dynamics
+exactly regardless of ADMM tolerance (matching reference semantics).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.collisions import PairIndex
+from ..utils.config import SolverConfig, SolverStatic
+from .admm import SolverParams, _LOOSE_RHO
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Variable / row containers
+# ---------------------------------------------------------------------------
+
+class StateVars(NamedTuple):
+    """Decision variables: (..., N, K, 2) each.
+
+    a[k] for k=0..K-1;  p[k], v[k] for k=1..K stored at index k-1.
+    """
+    a: jnp.ndarray
+    p: jnp.ndarray
+    v: jnp.ndarray
+
+
+class RowVals(NamedTuple):
+    """Constraint row values (one leaf per block).
+
+    dyn_p, dyn_v: (..., N, K, 2) dynamics equalities for k=0..K-1
+    jerk:         (..., N, K-1, 2)
+    acc:          (..., N, K, 2)   box on a
+    vbox:         (..., N, K, 2)   box on v[1..K] (terminal equality at K)
+    pbox:         (..., N, K, 2)   box on p[1..K] (terminal equality at K)
+    col:          (..., K, P)      eta . (p_i[k] - p_j[k]), k=0 row vacuous
+    """
+    dyn_p: jnp.ndarray
+    dyn_v: jnp.ndarray
+    jerk: jnp.ndarray
+    acc: jnp.ndarray
+    vbox: jnp.ndarray
+    pbox: jnp.ndarray
+    col: jnp.ndarray
+
+
+def _tmap(f, *ts):
+    return jax.tree.map(f, *ts)
+
+
+def _inf_norm(t) -> jnp.ndarray:
+    leaves = [jnp.max(jnp.abs(v)) for v in jax.tree.leaves(t) if v.size > 0]
+    return jnp.max(jnp.stack(leaves))
+
+
+# ---------------------------------------------------------------------------
+# Constraint operator (all local; no prefix sums anywhere)
+# ---------------------------------------------------------------------------
+
+def apply_A(xv: StateVars, eta, E, h: float) -> RowVals:
+    a, p, v = xv.a, xv.p, xv.v
+    K = a.shape[-2]
+    # dynamics rows k: p-row_k = p[k+1] - p[k] - h v[k] - h^2/2 a[k]
+    #                  v-row_k = v[k+1] - v[k] - h a[k]
+    # with p[0], v[0] constants (k=0 rows: variable part only).
+    p_prev = p[..., :-1, :]                     # p[1..K-1]
+    v_prev = v[..., :-1, :]
+    dyn_p0 = p[..., 0:1, :] - 0.5 * h * h * a[..., 0:1, :]
+    dyn_pk = (p[..., 1:, :] - p_prev - h * v_prev
+              - 0.5 * h * h * a[..., 1:, :])
+    dyn_p = jnp.concatenate([dyn_p0, dyn_pk], axis=-2)
+    dyn_v0 = v[..., 0:1, :] - h * a[..., 0:1, :]
+    dyn_vk = v[..., 1:, :] - v_prev - h * a[..., 1:, :]
+    dyn_v = jnp.concatenate([dyn_v0, dyn_vk], axis=-2)
+
+    jerk = (a[..., 1:, :] - a[..., :-1, :]) / h
+
+    # collision rows: k=0 vacuous (p[0] const), k>=1 uses p[k] (index k-1)
+    dp = jnp.einsum('np,...nkc->...kpc', E, p, precision=_HP)  # (...,K,P,2)
+    col_k = jnp.sum(eta[..., 1:, :, :] * dp[..., :-1, :, :], axis=-1)
+    col0 = jnp.zeros_like(col_k[..., 0:1, :])
+    col = jnp.concatenate([col0, col_k], axis=-2)
+
+    return RowVals(dyn_p=dyn_p, dyn_v=dyn_v, jerk=jerk, acc=a, vbox=v,
+                   pbox=p, col=col)
+
+
+def apply_AT(y: RowVals, eta, E, h: float) -> StateVars:
+    K = y.acc.shape[-2]
+    pad = [(0, 0)] * (y.jerk.ndim - 2) + [(1, 1), (0, 0)]
+    yj = jnp.pad(y.jerk, pad)
+    # a_k receives: -h^2/2 dyn_p[k], -h dyn_v[k], jerk adjoint, acc box
+    a = (-0.5 * h * h * y.dyn_p - h * y.dyn_v
+         + (yj[..., :-1, :] - yj[..., 1:, :]) / h + y.acc)
+
+    # p[k] (index k-1) receives: +dyn_p[k-1], -dyn_p[k] (k<=K-1), pbox,
+    # and collision row k (k=1..K-1)
+    dyn_p_next = jnp.concatenate(
+        [y.dyn_p[..., 1:, :], jnp.zeros_like(y.dyn_p[..., 0:1, :])], axis=-2)
+    p = y.dyn_p - dyn_p_next + y.pbox
+
+    w = y.col[..., None] * eta                                # (..., K, P, 2)
+    w_shift = jnp.concatenate(
+        [w[..., 1:, :, :], jnp.zeros_like(w[..., 0:1, :, :])], axis=-3)
+    p = p + jnp.einsum('np,...kpc->...nkc', E, w_shift, precision=_HP)
+
+    # v[k] receives: -h dyn_p[k] (k<=K-1), +dyn_v[k-1], -dyn_v[k], vbox
+    dyn_v_next = jnp.concatenate(
+        [y.dyn_v[..., 1:, :], jnp.zeros_like(y.dyn_v[..., 0:1, :])], axis=-2)
+    v = -h * dyn_p_next + y.dyn_v - dyn_v_next + y.vbox
+    return StateVars(a=a, p=p, v=v)
+
+
+# ---------------------------------------------------------------------------
+# Bounds (much simpler than acceleration space: no offset folding)
+# ---------------------------------------------------------------------------
+
+def build_bounds(p0, v0, pf, vf, *, n_vehicles: int, n_steps: int, h: float,
+                 limits, n_pairs: int) -> tuple[RowVals, RowVals]:
+    """Lower/upper bounds for every row block.  p0/v0/pf/vf: (..., N, 2).
+
+    Collision bounds default to disabled (-inf / +inf); the SCP loop
+    replaces ``lower.col`` per iteration.
+    """
+    N, K = n_vehicles, n_steps
+    dtype = p0.dtype
+    batch = p0.shape[:-2]
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    def full(shape, val):
+        return jnp.full(batch + shape, val, dtype=dtype)
+
+    # dynamics equalities: k=0 rows have the initial-state constants on the
+    # RHS (p0 + h v0, v0); k>=1 rows are homogeneous.
+    zero = jnp.zeros(batch + (N, K - 1, 2), dtype=dtype)
+    dyn_p_rhs = jnp.concatenate(
+        [(p0 + h * v0)[..., :, None, :], zero], axis=-2)
+    dyn_v_rhs = jnp.concatenate([v0[..., :, None, :], zero], axis=-2)
+
+    l_jerk = full((N, K - 1, 2), limits.jerk_min)
+    u_jerk = full((N, K - 1, 2), limits.jerk_max)
+    l_acc = full((N, K, 2), limits.acc_min)
+    u_acc = full((N, K, 2), limits.acc_max)
+
+    is_term = (jnp.arange(K) == K - 1).reshape((K, 1))
+    l_v = full((N, K, 2), limits.vel_min)
+    u_v = full((N, K, 2), limits.vel_max)
+    vf_b = jnp.broadcast_to(vf[..., :, None, :], batch + (N, K, 2))
+    l_v = jnp.where(is_term, vf_b, l_v)
+    u_v = jnp.where(is_term, vf_b, u_v)
+
+    pos_min = jnp.asarray(limits.pos_min, dtype=dtype)
+    pos_max = jnp.asarray(limits.pos_max, dtype=dtype)
+    l_p = jnp.broadcast_to(pos_min, batch + (N, K, 2))
+    u_p = jnp.broadcast_to(pos_max, batch + (N, K, 2))
+    pf_b = jnp.broadcast_to(pf[..., :, None, :], batch + (N, K, 2))
+    l_p = jnp.where(is_term, pf_b, l_p)
+    u_p = jnp.where(is_term, pf_b, u_p)
+
+    lower = RowVals(dyn_p=dyn_p_rhs, dyn_v=dyn_v_rhs, jerk=l_jerk, acc=l_acc,
+                    vbox=l_v, pbox=l_p, col=full((K, n_pairs), -jnp.inf))
+    upper = RowVals(dyn_p=dyn_p_rhs, dyn_v=dyn_v_rhs, jerk=u_jerk, acc=u_acc,
+                    vbox=u_v, pbox=u_p, col=full((K, n_pairs), jnp.inf))
+    return lower, upper
+
+
+def collision_lower_bounds_state(eta, dist, prev_positions, pairs: PairIndex,
+                                 *, min_distance) -> jnp.ndarray:
+    """RHS of collision rows in state space: R + (eta . dprev - dist).
+
+    The linearization term is 0 for non-degenerate pairs, ~ -1 degenerate
+    (same algebra as scp.py:547-549 — the initial-state contributions vanish
+    because positions are now variables).  Row k=0 is vacuous -> -inf.
+    """
+    from ..ops.collisions import pairwise_diffs
+    dprev = pairwise_diffs(prev_positions, pairs)
+    lin = jnp.sum(eta * dprev, axis=-1) - dist
+    l = min_distance + lin
+    neg_inf = jnp.full_like(l[..., 0:1, :], -jnp.inf)
+    return jnp.concatenate([neg_inf, l[..., 1:, :]], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Row scaling / rho pattern (all O(1) row norms)
+# ---------------------------------------------------------------------------
+
+def row_scaling_state(n_steps: int, h: float, dtype=jnp.float32) -> RowVals:
+    K = n_steps
+    one = np.ones(K)
+
+    def d(v):
+        return jnp.asarray((1.0 / v)[:, None], dtype=dtype)
+
+    dyn_p = np.full(K, np.sqrt(2.0 + h * h + 0.25 * h ** 4))
+    dyn_p[0] = np.sqrt(1.0 + 0.25 * h ** 4)
+    dyn_v = np.full(K, np.sqrt(2.0 + h * h))
+    dyn_v[0] = np.sqrt(1.0 + h * h)
+    jerk = np.full(K - 1, np.sqrt(2.0) / h)
+    col = np.full(K, np.sqrt(2.0))
+    return RowVals(dyn_p=d(dyn_p), dyn_v=d(dyn_v), jerk=d(jerk), acc=d(one),
+                   vbox=d(one), pbox=d(one), col=d(col))
+
+
+def rho_pattern(lower: RowVals, upper: RowVals, scaling: RowVals,
+                static: SolverStatic, rho, col_boost,
+                col_shape) -> RowVals:
+    """Per-row rho = rho / norm^2, equality rows boosted; collision rows get
+    the boost factor; vacuous k=0 collision row gets the loose rho."""
+    def box(lo, up, d):
+        base = rho * d * d
+        return jnp.where(lo == up, static.rho_eq_scale * base, base)
+
+    eq = static.rho_eq_scale * rho
+    K = col_shape[-2]
+    col_rho = col_boost * rho * scaling.col * scaling.col
+    col_rho = jnp.where((jnp.arange(K) == 0).reshape(K, 1),
+                        _LOOSE_RHO, col_rho)
+    col_rho = jnp.broadcast_to(col_rho, col_shape)
+    return RowVals(
+        dyn_p=eq * scaling.dyn_p * scaling.dyn_p * jnp.ones_like(lower.dyn_p),
+        dyn_v=eq * scaling.dyn_v * scaling.dyn_v * jnp.ones_like(lower.dyn_v),
+        jerk=box(lower.jerk, upper.jerk, scaling.jerk),
+        acc=box(lower.acc, upper.acc, scaling.acc),
+        vbox=box(lower.vbox, upper.vbox, scaling.vbox),
+        pbox=box(lower.pbox, upper.pbox, scaling.pbox),
+        col=col_rho,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Block-tridiagonal normal-matrix assembly
+# ---------------------------------------------------------------------------
+#
+# Super-block u_k = (a_k, p_{k+1}, v_{k+1}), each (N, 2) -> size 6N, with
+# flat layout  idx = slot * 2N + n * 2 + c,  slot in {0:a, 1:p, 2:v}.
+# M = P + sigma I + A^T diag(rho) A is block-tridiagonal: diagonal blocks
+# D_k and sub-diagonal blocks B_k (rows u_k, cols u_{k-1}).  All static
+# contributions are scalar per (vehicle, axis); collisions add a dense
+# outer-product term to the p-part of D.
+
+def _slot_diag(n6, n2, sr, sc, vals_k):
+    """(K,) scalars -> (K, n6, n6) with vals on the (sr, sc) slot diagonal."""
+    K = vals_k.shape[0]
+    out = jnp.zeros((K, n6, n6), dtype=vals_k.dtype)
+    idx = jnp.arange(n2)
+    return out.at[:, sr * n2 + idx, sc * n2 + idx].set(vals_k[:, None])
+
+
+def assemble_blocks(rho: RowVals, eta, E, *, h: float, sigma,
+                    n_vehicles: int):
+    """Build D (K, 6N, 6N) and B (K-1, 6N, 6N) for one scenario.
+
+    ``rho`` leaves carry per-row rho; static rows are per-(k) scalars
+    broadcast over vehicles/axes (we read index [..., 0, :, 0] patterns),
+    collision rho is (K, P).
+    """
+    N = n_vehicles
+    n2 = 2 * N
+    n6 = 6 * N
+    K = rho.acc.shape[-2]
+    dtype = rho.acc.dtype
+    h2 = h * h
+
+    # per-k scalars (static rho patterns are uniform over vehicles/axes)
+    rdp = rho.dyn_p[..., 0, :, 0]            # (K,)
+    rdv = rho.dyn_v[..., 0, :, 0]
+    rj = rho.jerk[..., 0, :, 0]              # (K-1,)
+    ra = rho.acc[..., 0, :, 0]
+    rv = rho.vbox[..., 0, :, 0]
+    rp = rho.pbox[..., 0, :, 0]
+
+    zero = jnp.zeros((), dtype)
+    rdp_next = jnp.concatenate([rdp[1:], zero[None]])    # rho_dp_{k+1}, 0 at K-1
+    rdv_next = jnp.concatenate([rdv[1:], zero[None]])
+    rj_prev = jnp.concatenate([zero[None], rj])          # jerk row k-1
+    rj_here = jnp.concatenate([rj, zero[None]])          # jerk row k
+
+    aa = 2.0 + sigma + rdp * (0.25 * h2 * h2) + rdv * h2 + ra \
+        + (rj_here + rj_prev) / h2
+    pp = sigma + rdp + rdp_next + rp
+    vv = sigma + rdv + rdv_next + rdp_next * h2 + rv
+    ap = -0.5 * h2 * rdp
+    av = -h * rdv
+    pv = h * rdp_next
+
+    D = (_slot_diag(n6, n2, 0, 0, aa) + _slot_diag(n6, n2, 1, 1, pp)
+         + _slot_diag(n6, n2, 2, 2, vv)
+         + _slot_diag(n6, n2, 0, 1, ap) + _slot_diag(n6, n2, 1, 0, ap)
+         + _slot_diag(n6, n2, 0, 2, av) + _slot_diag(n6, n2, 2, 0, av)
+         + _slot_diag(n6, n2, 1, 2, pv) + _slot_diag(n6, n2, 2, 1, pv))
+
+    # collision outer products on the p-part of D_{k-1} (rows at time k
+    # touch p_k = p-slot of u_{k-1}):  G_k = E x eta_k  (2N, P)
+    G = jnp.einsum('np,kpc->kncp', E, eta).reshape(K, -1, E.shape[1])
+    rc = rho.col                                     # (K, P)
+    colM = jnp.einsum('kip,kp,kjp->kij', G, rc, G, precision=_HP)
+    colM_shift = colM[1:]                            # times 1..K-1 -> D_0..D_{K-2}
+    colM_pad = jnp.concatenate(
+        [colM_shift, jnp.zeros_like(colM[:1])], axis=0)
+    D = D.at[:, n2:2 * n2, n2:2 * n2].add(colM_pad)
+
+    # B_k: rows u_k, cols u_{k-1}, k = 1..K-1
+    rdp_k = rdp[1:]
+    rdv_k = rdv[1:]
+    rj_km1 = rj                                      # jerk row k-1, k=1..K-1
+    n_b = K - 1
+    ap_pk = 0.5 * h2 * rdp_k                         # (a_k, p_k)
+    ap_vk = 0.5 * h2 * h * rdp_k                     # (a_k, v_k)
+    pp_b = -rdp_k                                    # (p_{k+1}, p_k)
+    pv_b = -h * rdp_k                                # (p_{k+1}, v_k)
+    av_b = h * rdv_k                                 # (a_k, v_k) from dyn_v
+    vv_b = -rdv_k                                    # (v_{k+1}, v_k)
+    aa_b = -rj_km1 / h2                              # (a_k, a_{k-1})
+
+    B = (_slot_diag(n6, n2, 0, 0, aa_b)
+         + _slot_diag(n6, n2, 0, 1, ap_pk)
+         + _slot_diag(n6, n2, 0, 2, ap_vk + av_b)
+         + _slot_diag(n6, n2, 1, 1, pp_b)
+         + _slot_diag(n6, n2, 1, 2, pv_b)
+         + _slot_diag(n6, n2, 2, 2, vv_b))
+    return D, B
+
+
+# ---------------------------------------------------------------------------
+# Block-tridiagonal Cholesky (scan) and solve
+# ---------------------------------------------------------------------------
+
+def factorize(D, B):
+    """Block Cholesky of the SPD block-tridiagonal [D_k; B_k].
+
+    Returns (L (K, n, n) lower factors, Eb (K-1, n, n)) with
+        L_0 L_0^T = D_0
+        E_k = B_k L_{k-1}^{-T}
+        L_k L_k^T = D_k - E_k E_k^T
+    """
+    chol = jax.lax.linalg.cholesky
+    tri = partial(jax.lax.linalg.triangular_solve, lower=True,
+                  transpose_a=True, left_side=False)
+    L0 = chol(D[0])
+
+    def step(Lprev, DB):
+        Dk, Bk = DB
+        # E_k = B_k L_{k-1}^{-T}: solve X L^T = B  (right-side, lower, T)
+        Ek = tri(Lprev, Bk)
+        Lk = chol(Dk - jnp.einsum('ij,kj->ik', Ek, Ek, precision=_HP))
+        return Lk, (Lk, Ek)
+
+    _, (Ls, Es) = jax.lax.scan(step, L0, (D[1:], B))
+    L = jnp.concatenate([L0[None], Ls], axis=0)
+    return L, Es
+
+
+def solve_factorized(L, Eb, b):
+    """Solve M x = b given the block factorization.  b: (K, n)."""
+    tri_l = partial(jax.lax.linalg.triangular_solve, lower=True,
+                    transpose_a=False, left_side=True)
+    tri_lt = partial(jax.lax.linalg.triangular_solve, lower=True,
+                     transpose_a=True, left_side=True)
+
+    y0 = tri_l(L[0], b[0][:, None])[:, 0]
+
+    def fwd(yprev, inp):
+        Lk, Ek, bk = inp
+        yk = tri_l(Lk, (bk - Ek @ yprev)[:, None])[:, 0]
+        return yk, yk
+
+    _, ys = jax.lax.scan(fwd, y0, (L[1:], Eb, b[1:]))
+    y = jnp.concatenate([y0[None], ys], axis=0)
+
+    xK = tri_lt(L[-1], y[-1][:, None])[:, 0]
+
+    def bwd(xnext, inp):
+        Lk, Ek1, yk = inp
+        # x_k = L_k^{-T} (y_k - E_{k+1}^T x_{k+1})
+        xk = tri_lt(Lk, (yk - Ek1.T @ xnext)[:, None])[:, 0]
+        return xk, xk
+
+    _, xs = jax.lax.scan(bwd, xK, (L[:-1], Eb, y[:-1]), reverse=True)
+    x = jnp.concatenate([xs, xK[None]], axis=0)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# StateVars <-> stacked (K, 6N) layout
+# ---------------------------------------------------------------------------
+
+def to_stacked(xv: StateVars) -> jnp.ndarray:
+    """(N, K, 2) leaves -> (K, 6N) with slot layout (a, p, v)."""
+    def flat(arr):
+        return jnp.swapaxes(arr, -3, -2).reshape(arr.shape[-2], -1)
+    return jnp.concatenate([flat(xv.a), flat(xv.p), flat(xv.v)], axis=-1)
+
+
+def from_stacked(x: jnp.ndarray, n_vehicles: int) -> StateVars:
+    K = x.shape[0]
+    n2 = 2 * n_vehicles
+
+    def unflat(sl):
+        return jnp.swapaxes(sl.reshape(K, n_vehicles, 2), 0, 1)
+    return StateVars(a=unflat(x[:, :n2]), p=unflat(x[:, n2:2 * n2]),
+                     v=unflat(x[:, 2 * n2:]))
+
+
+def apply_M(xv: StateVars, rho: RowVals, eta, E, *, h: float, sigma):
+    """Reference application of M = P + sigma I + A^T rho A (for tests)."""
+    Ax = apply_A(xv, eta, E, h)
+    rAx = _tmap(lambda a, r: a * r, Ax, rho)
+    ATrAx = apply_AT(rAx, eta, E, h)
+    Px = StateVars(a=2.0 * xv.a, p=jnp.zeros_like(xv.p),
+                   v=jnp.zeros_like(xv.v))
+    return _tmap(lambda p_, s_, at: p_ + sigma * s_ + at, Px, xv, ATrAx)
+
+
+# ---------------------------------------------------------------------------
+# ADMM loop with exact x-updates
+# ---------------------------------------------------------------------------
+
+class StateQPResult(NamedTuple):
+    x: StateVars
+    y: RowVals
+    iters: jnp.ndarray
+    prim_res: jnp.ndarray
+    dual_res: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
+                   params: SolverParams, E, *, h: float,
+                   static: SolverStatic, n_vehicles: int,
+                   y_init: RowVals | None = None) -> StateQPResult:
+    """One ADMM solve in state space for a single scenario.
+
+    Collision rows are controlled entirely through ``lower.col`` (-inf rows
+    are disabled and carry the loose rho via the k=0 pattern plus eta=0).
+    """
+    dtype = x_init.a.dtype
+    N = n_vehicles
+    K = x_init.a.shape[-2]
+    sigma = params.sigma
+    alpha = params.alpha
+    scaling = row_scaling_state(K, h, dtype=dtype)
+
+    Ax0 = apply_A(x_init, eta, E, h)
+    z0 = _tmap(jnp.clip, Ax0, lower, upper)
+    y0 = _tmap(jnp.zeros_like, z0) if y_init is None else y_init
+
+    def make_solver(rho_scalar):
+        rho_b = rho_pattern(lower, upper, scaling, static, rho_scalar,
+                            params.col_rho_boost, lower.col.shape)
+        # disabled collision rows (lower = -inf beyond row 0) -> loose rho
+        col_off = jnp.isinf(lower.col)
+        rho_b = rho_b._replace(col=jnp.where(col_off, _LOOSE_RHO, rho_b.col))
+        D, B = assemble_blocks(rho_b, eta, E, h=h, sigma=sigma,
+                               n_vehicles=N)
+        L, Eb = factorize(D, B)
+        return rho_b, L, Eb
+
+    def admm_iter(x, z, y, rho_b, L, Eb):
+        rzy = _tmap(lambda zz, yy, rr: rr * zz - yy, z, y, rho_b)
+        b_sv = apply_AT(rzy, eta, E, h)
+        b_sv = _tmap(lambda bb, xx: bb + sigma * xx, b_sv, x)
+        x_t = from_stacked(solve_factorized(L, Eb, to_stacked(b_sv)), N)
+        x_new = _tmap(lambda xt, xx: alpha * xt + (1 - alpha) * xx, x_t, x)
+        Ax_t = apply_A(x_t, eta, E, h)
+        z_rel = _tmap(lambda az, zz: alpha * az + (1 - alpha) * zz, Ax_t, z)
+        z_new = _tmap(lambda zr, yy, rr, lo, up: jnp.clip(zr + yy / rr, lo, up),
+                      z_rel, y, rho_b, lower, upper)
+        # exact-penalty soft prox on collision rows (same as admm.py)
+        w_col = z_rel.col + y.col / rho_b.col
+        lam = params.col_penalty
+        z_col = jnp.where(w_col >= lower.col, w_col,
+                          jnp.minimum(w_col + lam / rho_b.col, lower.col))
+        z_new = z_new._replace(col=z_col)
+        y_new = _tmap(lambda yy, zr, zn, rr: yy + rr * (zr - zn),
+                      y, z_rel, z_new, rho_b)
+        return x_new, z_new, y_new
+
+    def residuals(x, z, y):
+        Ax = apply_A(x, eta, E, h)
+        dAx = _tmap(lambda a, d_: a * d_, Ax, scaling)
+        dz = _tmap(lambda a, d_: a * d_, z, scaling)
+        prim = _inf_norm(_tmap(lambda a, b_: a - b_, dAx, dz))
+        ATy = apply_AT(y, eta, E, h)
+        dual_vec = _tmap(lambda px, at: px + at,
+                         StateVars(a=2.0 * x.a, p=jnp.zeros_like(x.p),
+                                   v=jnp.zeros_like(x.v)), ATy)
+        dual = _inf_norm(dual_vec)
+        prim_scale = jnp.maximum(_inf_norm(dAx), _inf_norm(dz))
+        dual_scale = jnp.maximum(2.0 * jnp.max(jnp.abs(x.a)), _inf_norm(ATy))
+        eps_prim = params.eps_abs + params.eps_rel * prim_scale
+        eps_dual = params.eps_abs + params.eps_rel * dual_scale
+        done = jnp.logical_and(prim <= eps_prim, dual <= eps_dual)
+        return prim, dual, done, prim / jnp.maximum(prim_scale, 1e-10), \
+            dual / jnp.maximum(dual_scale, 1e-10)
+
+    def outer_body(carry):
+        x, z, y, rho, it, prim, dual, done = carry
+        rho_b, L, Eb = make_solver(rho)
+
+        def inner(i, xzys):
+            return admm_iter(*xzys, rho_b, L, Eb)
+
+        x, z, y = jax.lax.fori_loop(0, params.check_interval, inner,
+                                    (x, z, y))
+        prim, dual, done, pr, dr = residuals(x, z, y)
+
+        if static.adaptive_rho:
+            ratio = jnp.sqrt(pr / jnp.maximum(dr, 1e-12))
+            new_rho = jnp.clip(rho * ratio, 1e-6, 1e6)
+            adapt = jnp.logical_or(ratio > 5.0, ratio < 0.2)
+            new_rho = jnp.where(adapt, new_rho, rho)
+            scale = new_rho / rho
+            y = _tmap(lambda v_: v_ * scale, y)
+            rho = new_rho
+
+        return x, z, y, rho, it + params.check_interval, prim, dual, done
+
+    def outer_cond(carry):
+        *_, it, prim, dual, done = carry
+        return jnp.logical_and(it < params.max_iter, jnp.logical_not(done))
+
+    init = (x_init, z0, y0, params.rho, jnp.int32(0),
+            jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
+            jnp.asarray(False))
+    x, z, y, rho, it, prim, dual, done = jax.lax.while_loop(
+        outer_cond, outer_body, init)
+
+    return StateQPResult(x=x, y=y, iters=it, prim_res=prim, dual_res=dual,
+                         converged=done)

@@ -86,6 +86,10 @@ class SCPEngine:
     def solve_fn(self):
         """The raw (un-jitted) per-scenario solve closure, for callers that
         compose their own jit/vmap/shard_map around it."""
+        if self.solver_static.method == "direct":
+            return partial(_scp_solve_direct, params=self.solver_params,
+                           pairs=self.pairs, problem=self.problem,
+                           solver=self.solver_static)
         return partial(_scp_solve, params=self.solver_params,
                        pairs=self.pairs, Minv=self.Minv,
                        problem=self.problem, solver=self.solver_static)
@@ -97,20 +101,14 @@ class SCPEngine:
         if key is None:
             key = jax.random.key(0)
         args = [jnp.asarray(a, dtype=self.dtype) for a in (p0, v0, pf, vf)]
-        return _scp_solve(*args, key, params=self.solver_params,
-                          pairs=self.pairs, Minv=self.Minv,
-                          problem=self.problem, solver=self.solver_static)
+        return self.solve_fn()(*args, key)
 
     # -- batched -----------------------------------------------------------
 
     def solve_batch(self, p0, v0, pf, vf, keys) -> SCPResult:
         """All state arrays (B, N, 2); keys (B,) PRNG keys.  vmapped solve."""
         args = [jnp.asarray(a, dtype=self.dtype) for a in (p0, v0, pf, vf)]
-        fn = jax.vmap(partial(_scp_solve, params=self.solver_params,
-                              pairs=self.pairs, Minv=self.Minv,
-                              problem=self.problem,
-                              solver=self.solver_static))
-        return fn(*args, keys)
+        return jax.vmap(self.solve_fn())(*args, keys)
 
 
 @partial(jax.jit, static_argnames=("problem", "solver"))
@@ -314,3 +312,109 @@ class SCP:
                                    self.space_dims, self.R, self.h,
                                    num_snapshots=num_snapshots,
                                    save_path=save_path)
+
+
+# ---------------------------------------------------------------------------
+# Direct (state-space) SCP path: exact block-tridiagonal QP solves
+# ---------------------------------------------------------------------------
+
+def _warm_state(a, p0, v0, h):
+    """StateVars warm start with p/v from the exact rollout of ``a``.
+
+    Variables are p[1..K], v[1..K]; rollout returns indices 0..K-1, so shift
+    by one and extrapolate the terminal state.
+    """
+    from .banded import StateVars
+    pos, vel = rollout(a, p0, v0, h)
+    vK = vel[..., -1, :] + h * a[..., -1, :]
+    pK = pos[..., -1, :] + h * vel[..., -1, :] + 0.5 * h * h * a[..., -1, :]
+    p_var = jnp.concatenate([pos[..., 1:, :], pK[..., None, :]], axis=-2)
+    v_var = jnp.concatenate([vel[..., 1:, :], vK[..., None, :]], axis=-2)
+    return StateVars(a=a, p=p_var, v=v_var)
+
+
+@partial(jax.jit, static_argnames=("problem", "solver"))
+def _scp_solve_direct(p0, v0, pf, vf, key, *, params: SolverParams,
+                      pairs: PairIndex, problem: ProblemConfig,
+                      solver: SolverStatic) -> SCPResult:
+    """SCP loop over the state-space QP solver (solvers/banded.py).
+
+    Identical control flow and semantics to :func:`_scp_solve`; only the QP
+    subproblem formulation differs (dynamics as banded equalities instead of
+    eliminated, exact x-updates instead of PCG).
+    """
+    from .banded import (build_bounds, collision_lower_bounds_state,
+                         solve_qp_state)
+
+    N = problem.n_vehicles
+    K = problem.n_steps
+    P = problem.n_pairs
+    h = problem.time_step
+    R = problem.min_distance
+    dtype = p0.dtype
+
+    lower_s, upper_s = build_bounds(p0, v0, pf, vf, n_vehicles=N, n_steps=K,
+                                    h=h, limits=problem.limits, n_pairs=P)
+    eta0 = jnp.zeros((K, P, 2), dtype=dtype)
+
+    # ---- phase 1: initial QP (collision rows disabled via -inf bounds)
+    x0 = _warm_state(jnp.zeros((N, K, 2), dtype=dtype), p0, v0, h)
+    qp0 = solve_qp_state(lower_s, upper_s, eta0, x0, params, pairs.E, h=h,
+                         static=solver, n_vehicles=N)
+    a = qp0.x.a
+
+    pos_init, _ = rollout(a, p0, v0, h)
+    feasible_initial = check_feasible(pos_init, pairs, R)
+
+    goal_feasible = problem.stop_mode == "feasible"
+
+    def body(carry):
+        a, y_prev, it, converged, stop, rel, qp_iters, qp_ok = carry
+        prev_pos, _ = rollout(a, p0, v0, h)
+        subkey = jax.random.fold_in(key, it)
+        eta, dist = linearize(prev_pos, pairs, subkey)
+        col_lo = collision_lower_bounds_state(
+            eta, dist, prev_pos, pairs,
+            min_distance=R + params.col_margin)
+        lower_it = lower_s._replace(col=col_lo)
+        x_warm = _warm_state(a, p0, v0, h)
+        qp = solve_qp_state(lower_it, upper_s, eta, x_warm, params, pairs.E,
+                            h=h, static=solver, n_vehicles=N, y_init=y_prev)
+        a_new = qp.x.a
+        step = jnp.linalg.norm((a_new - a).reshape(-1))
+        denom = jnp.maximum(jnp.linalg.norm(a.reshape(-1)), 1e-30)
+        rel_step = step / denom
+        converged = rel_step <= problem.convergence_tolerance
+        if goal_feasible:
+            new_pos, _ = rollout(a_new, p0, v0, h)
+            stop = check_feasible(new_pos, pairs, R)
+        else:
+            stop = converged
+        return (a_new, qp.y, it + 1, converged, stop, rel_step,
+                qp_iters + qp.iters, jnp.logical_and(qp_ok, qp.converged))
+
+    def cond(carry):
+        _, _, it, _, stop, *_ = carry
+        return jnp.logical_and(
+            it < problem.max_iterations,
+            jnp.logical_and(jnp.logical_not(stop),
+                            jnp.logical_not(feasible_initial)))
+
+    init = (a, qp0.y, jnp.int32(0), jnp.asarray(False), jnp.asarray(False),
+            jnp.asarray(jnp.inf, dtype), qp0.iters, qp0.converged)
+    a, _y, iters, converged, _stop, rel_step, qp_iters, qp_ok = \
+        jax.lax.while_loop(cond, body, init)
+
+    positions, velocities = rollout(a, p0, v0, h)
+    feasible_final = check_feasible(positions, pairs, R)
+    status = jnp.where(
+        feasible_initial, STATUS_FEASIBLE_INITIAL,
+        jnp.where(converged, STATUS_CONVERGED, STATUS_MAX_ITERS))
+
+    return SCPResult(positions=positions, velocities=velocities,
+                     accelerations=a, iterations=iters,
+                     status=status.astype(jnp.int32), converged=converged,
+                     feasible_initial=feasible_initial,
+                     feasible_final=feasible_final,
+                     qp_iterations=qp_iters, qp_converged_all=qp_ok,
+                     rel_step=rel_step)

@@ -82,6 +82,8 @@ class SolverStatic:
     adaptive_rho: bool = True        # OSQP-style residual-balancing rho updates
     polish: bool = True              # active-set KKT polish after ADMM
     operator_impl: str = "scan"      # "scan" (VPU prefix sums) | "matmul" (MXU)
+    method: str = "cg"               # "cg" (accel-space PCG) | "direct"
+    #                                  (state-space block-tridiag Cholesky)
 
 
 @dataclass(frozen=True)
@@ -109,6 +111,7 @@ class SolverConfig:
     polish: bool = True              # active-set KKT polish after ADMM
     polish_cg_iters: int = 40        # CG iterations for the polish solve
     operator_impl: str = "scan"      # "scan" (VPU prefix sums) | "matmul" (MXU)
+    method: str = "cg"               # QP solver: "cg" | "direct" (see SolverStatic)
     # Exact-penalty weight on collision rows: inf = hard constraints
     # (reference semantics); finite = soft rows that keep infeasible SCP
     # linearizations well-posed (bench/production mode)
@@ -128,7 +131,8 @@ class SolverConfig:
         return SolverStatic(rho_eq_scale=self.rho_eq_scale,
                             adaptive_rho=self.adaptive_rho,
                             polish=self.polish,
-                            operator_impl=self.operator_impl)
+                            operator_impl=self.operator_impl,
+                            method=self.method)
 
 
 def load_yaml(path: str) -> dict[str, Any]:
