@@ -370,10 +370,15 @@ def assemble_blocks(rho: RowVals, eta, E, *, h: float, sigma,
 def factorize(D, B):
     """Block Cholesky of the SPD block-tridiagonal [D_k; B_k].
 
-    Returns (L (K, n, n) lower factors, Eb (K-1, n, n)) with
+    Returns (Linv (K, n, n) INVERTED lower factors, Eb (K-1, n, n)) with
         L_0 L_0^T = D_0
         E_k = B_k L_{k-1}^{-T}
         L_k L_k^T = D_k - E_k E_k^T
+
+    The factors are stored inverted (one batched triangular solve against I
+    at factorization time) so every subsequent substitution sweep in the
+    ADMM hot path is a pure matmul — TPU trsm is far slower than MXU
+    matmuls, and the solve runs hundreds of times per factorization.
     """
     chol = jax.lax.linalg.cholesky
     tri = partial(jax.lax.linalg.triangular_solve, lower=True,
@@ -389,35 +394,37 @@ def factorize(D, B):
 
     _, (Ls, Es) = jax.lax.scan(step, L0, (D[1:], B))
     L = jnp.concatenate([L0[None], Ls], axis=0)
-    return L, Es
+    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+    Linv = jax.lax.linalg.triangular_solve(
+        L, jnp.broadcast_to(eye, L.shape), lower=True, left_side=True)
+    return Linv, Es
 
 
-def solve_factorized(L, Eb, b):
-    """Solve M x = b given the block factorization.  b: (K, n)."""
-    tri_l = partial(jax.lax.linalg.triangular_solve, lower=True,
-                    transpose_a=False, left_side=True)
-    tri_lt = partial(jax.lax.linalg.triangular_solve, lower=True,
-                     transpose_a=True, left_side=True)
+def solve_factorized(Linv, Eb, b):
+    """Solve M x = b given the (inverted) block factorization.  b: (K, n).
 
-    y0 = tri_l(L[0], b[0][:, None])[:, 0]
+    Matmul-only substitution sweeps:
+        y_k = Linv_k (b_k - E_k y_{k-1})
+        x_k = Linv_k^T (y_k - E_{k+1}^T x_{k+1})
+    """
+    y0 = Linv[0] @ b[0]
 
     def fwd(yprev, inp):
         Lk, Ek, bk = inp
-        yk = tri_l(Lk, (bk - Ek @ yprev)[:, None])[:, 0]
+        yk = Lk @ (bk - Ek @ yprev)
         return yk, yk
 
-    _, ys = jax.lax.scan(fwd, y0, (L[1:], Eb, b[1:]))
+    _, ys = jax.lax.scan(fwd, y0, (Linv[1:], Eb, b[1:]))
     y = jnp.concatenate([y0[None], ys], axis=0)
 
-    xK = tri_lt(L[-1], y[-1][:, None])[:, 0]
+    xK = Linv[-1].T @ y[-1]
 
     def bwd(xnext, inp):
         Lk, Ek1, yk = inp
-        # x_k = L_k^{-T} (y_k - E_{k+1}^T x_{k+1})
-        xk = tri_lt(Lk, (yk - Ek1.T @ xnext)[:, None])[:, 0]
+        xk = Lk.T @ (yk - Ek1.T @ xnext)
         return xk, xk
 
-    _, xs = jax.lax.scan(bwd, xK, (L[:-1], Eb, y[:-1]), reverse=True)
+    _, xs = jax.lax.scan(bwd, xK, (Linv[:-1], Eb, y[:-1]), reverse=True)
     x = jnp.concatenate([xs, xK[None]], axis=0)
     return x
 
@@ -535,9 +542,11 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
         return prim, dual, done, prim / jnp.maximum(prim_scale, 1e-10), \
             dual / jnp.maximum(dual_scale, 1e-10)
 
+    fact0 = make_solver(params.rho)
+
     def outer_body(carry):
-        x, z, y, rho, it, prim, dual, done = carry
-        rho_b, L, Eb = make_solver(rho)
+        x, z, y, rho, fact, it, prim, dual, done = carry
+        rho_b, L, Eb = fact
 
         def inner(i, xzys):
             return admm_iter(*xzys, rho_b, L, Eb)
@@ -553,18 +562,23 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
             new_rho = jnp.where(adapt, new_rho, rho)
             scale = new_rho / rho
             y = _tmap(lambda v_: v_ * scale, y)
+            # refactorize only when rho actually moved (lax.cond skips the
+            # block-Cholesky scan otherwise — it dominates interval cost)
+            fact = jax.lax.cond(adapt, lambda r: make_solver(r),
+                                lambda r: fact, new_rho)
             rho = new_rho
 
-        return x, z, y, rho, it + params.check_interval, prim, dual, done
+        return (x, z, y, rho, fact, it + params.check_interval, prim, dual,
+                done)
 
     def outer_cond(carry):
         *_, it, prim, dual, done = carry
         return jnp.logical_and(it < params.max_iter, jnp.logical_not(done))
 
-    init = (x_init, z0, y0, params.rho, jnp.int32(0),
+    init = (x_init, z0, y0, params.rho, fact0, jnp.int32(0),
             jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
             jnp.asarray(False))
-    x, z, y, rho, it, prim, dual, done = jax.lax.while_loop(
+    x, z, y, rho, _fact, it, prim, dual, done = jax.lax.while_loop(
         outer_cond, outer_body, init)
 
     return StateQPResult(x=x, y=y, iters=it, prim_res=prim, dual_res=dual,
