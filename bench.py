@@ -31,17 +31,24 @@ def main():
     from ba_path_planning_tpu.utils import ProblemConfig, SolverConfig
 
     problem = ProblemConfig(n_vehicles=20, time_horizon=10.0, time_step=0.2,
-                            min_distance=0.8, max_iterations=15)
-    # OSQP-default-accuracy inner solves (eps 1e-3, scp.py uses OSQP defaults)
-    solver = SolverConfig(eps_abs=1e-3, eps_rel=1e-3, max_iter=1000,
-                          cg_iters=8, check_interval=25)
+                            min_distance=0.8, max_iterations=15,
+                            stop_mode="feasible")
+    # state-space direct solver (block-tridiagonal exact x-updates) with
+    # constraint tightening; produces ~100% collision-free trajectories
+    solver = SolverConfig(method="direct", eps_abs=1e-3, eps_rel=1e-3,
+                          max_iter=200, collision_margin=0.06, polish=False,
+                          check_interval=25)
 
     devices = jax.devices()
     n_dev = len(devices)
-    batch = int(256 * n_dev)
+    batch = int(128 * n_dev)
 
     mesh = make_mesh(devices)
     sh = ShardedSCPSolver(problem, solver, mesh=mesh, dtype=jnp.float32)
+
+    # host-side chunking: each dispatch stays well under the runtime's
+    # execution deadline; chunks also bound the batched while_loop tail
+    chunk = 64 * n_dev
 
     sc = generate_scenario_batch(jax.random.key(0), batch,
                                  n_vehicles=problem.n_vehicles,
@@ -49,14 +56,21 @@ def main():
     v0 = jnp.zeros((batch, problem.n_vehicles, 2), jnp.float32)
     keys = jax.random.split(jax.random.key(1), batch)
 
-    # warmup/compile
-    res = sh.solve(sc.initial, v0, sc.final, v0, keys)
-    jax.block_until_ready(res)
+    def run_chunks():
+        outs = []
+        for lo in range(0, batch, chunk):
+            hi = lo + chunk
+            outs.append(sh.solve(sc.initial[lo:hi], v0[lo:hi],
+                                 sc.final[lo:hi], v0[lo:hi], keys[lo:hi]))
+        jax.block_until_ready(outs)
+        return outs
 
+    run_chunks()                      # warmup/compile
     t0 = time.perf_counter()
-    res = sh.solve(sc.initial, v0, sc.final, v0, keys)
-    jax.block_until_ready(res)
+    outs = run_chunks()
     dt = time.perf_counter() - t0
+    res = jax.tree.map(lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
+                       *outs)
 
     status = np.asarray(res.status)
     ff = np.asarray(res.feasible_final)
