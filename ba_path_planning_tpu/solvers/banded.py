@@ -406,22 +406,33 @@ def solve_factorized(Linv, Eb, b):
     Matmul-only substitution sweeps:
         y_k = Linv_k (b_k - E_k y_{k-1})
         x_k = Linv_k^T (y_k - E_{k+1}^T x_{k+1})
+
+    Matvecs are written as broadcast-multiply + reduce so they lower to VPU
+    elementwise work: under an outer vmap the naive form becomes a batched
+    (B, n, n) x (B, n) dot_general, which the TPU backend executes as B
+    serialized single-column MXU matmuls — two orders of magnitude slower.
     """
-    y0 = Linv[0] @ b[0]
+    def mv(M, t):
+        return jnp.sum(M * t[..., None, :], axis=-1)
+
+    def mv_t(M, t):
+        return jnp.sum(M * t[..., :, None], axis=-2)
+
+    y0 = mv(Linv[0], b[0])
 
     def fwd(yprev, inp):
         Lk, Ek, bk = inp
-        yk = Lk @ (bk - Ek @ yprev)
+        yk = mv(Lk, bk - mv(Ek, yprev))
         return yk, yk
 
     _, ys = jax.lax.scan(fwd, y0, (Linv[1:], Eb, b[1:]))
     y = jnp.concatenate([y0[None], ys], axis=0)
 
-    xK = Linv[-1].T @ y[-1]
+    xK = mv_t(Linv[-1], y[-1])
 
     def bwd(xnext, inp):
         Lk, Ek1, yk = inp
-        xk = Lk.T @ (yk - Ek1.T @ xnext)
+        xk = mv_t(Lk, yk - mv_t(Ek1, xnext))
         return xk, xk
 
     _, xs = jax.lax.scan(bwd, xK, (Linv[:-1], Eb, y[:-1]), reverse=True)

@@ -64,6 +64,6 @@ def test_microbatched_matches_unchunked():
     res_f = full.solve(sc.initial, v0, sc.final, v0, keys)
     res_m = micro.solve(sc.initial, v0, sc.final, v0, keys)
     np.testing.assert_allclose(np.asarray(res_m.positions),
-                               np.asarray(res_f.positions), atol=1e-6)
+                               np.asarray(res_f.positions), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(res_m.status),
                                   np.asarray(res_f.status))
