@@ -392,7 +392,7 @@ def factorize(D, B):
         Lk = chol(Dk - jnp.einsum('ij,kj->ik', Ek, Ek, precision=_HP))
         return Lk, (Lk, Ek)
 
-    _, (Ls, Es) = jax.lax.scan(step, L0, (D[1:], B))
+    _, (Ls, Es) = jax.lax.scan(step, L0, (D[1:], B), unroll=2)
     L = jnp.concatenate([L0[None], Ls], axis=0)
     eye = jnp.eye(L.shape[-1], dtype=L.dtype)
     Linv = jax.lax.linalg.triangular_solve(
@@ -425,7 +425,7 @@ def solve_factorized(Linv, Eb, b):
         yk = mv(Lk, bk - mv(Ek, yprev))
         return yk, yk
 
-    _, ys = jax.lax.scan(fwd, y0, (Linv[1:], Eb, b[1:]))
+    _, ys = jax.lax.scan(fwd, y0, (Linv[1:], Eb, b[1:]), unroll=4)
     y = jnp.concatenate([y0[None], ys], axis=0)
 
     xK = mv_t(Linv[-1], y[-1])
@@ -435,7 +435,8 @@ def solve_factorized(Linv, Eb, b):
         xk = mv_t(Lk, yk - mv_t(Ek1, xnext))
         return xk, xk
 
-    _, xs = jax.lax.scan(bwd, xK, (Linv[:-1], Eb, y[:-1]), reverse=True)
+    _, xs = jax.lax.scan(bwd, xK, (Linv[:-1], Eb, y[:-1]), reverse=True,
+                         unroll=4)
     x = jnp.concatenate([xs, xK[None]], axis=0)
     return x
 
@@ -519,7 +520,12 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
         rzy = _tmap(lambda zz, yy, rr: rr * zz - yy, z, y, rho_b)
         b_sv = apply_AT(rzy, eta, E, h)
         b_sv = _tmap(lambda bb, xx: bb + sigma * xx, b_sv, x)
-        x_t = from_stacked(solve_factorized(L, Eb, to_stacked(b_sv)), N)
+        if static.pallas:
+            from ..ops.pallas.banded_solve import solve_factorized_single
+            xs = solve_factorized_single(L, Eb, to_stacked(b_sv))
+        else:
+            xs = solve_factorized(L, Eb, to_stacked(b_sv))
+        x_t = from_stacked(xs, N)
         x_new = _tmap(lambda xt, xx: alpha * xt + (1 - alpha) * xx, x_t, x)
         Ax_t = apply_A(x_t, eta, E, h)
         z_rel = _tmap(lambda az, zz: alpha * az + (1 - alpha) * zz, Ax_t, z)

@@ -84,6 +84,7 @@ class SolverStatic:
     operator_impl: str = "scan"      # "scan" (VPU prefix sums) | "matmul" (MXU)
     method: str = "cg"               # "cg" (accel-space PCG) | "direct"
     #                                  (state-space block-tridiag Cholesky)
+    pallas: bool = False             # fused Pallas kernel for banded solves
 
 
 @dataclass(frozen=True)
@@ -112,6 +113,7 @@ class SolverConfig:
     polish_cg_iters: int = 40        # CG iterations for the polish solve
     operator_impl: str = "scan"      # "scan" (VPU prefix sums) | "matmul" (MXU)
     method: str = "cg"               # QP solver: "cg" | "direct" (see SolverStatic)
+    pallas: bool = False             # fused Pallas kernel for banded solves
     # Exact-penalty weight on collision rows: inf = hard constraints
     # (reference semantics); finite = soft rows that keep infeasible SCP
     # linearizations well-posed (bench/production mode)
@@ -132,7 +134,7 @@ class SolverConfig:
                             adaptive_rho=self.adaptive_rho,
                             polish=self.polish,
                             operator_impl=self.operator_impl,
-                            method=self.method)
+                            method=self.method, pallas=self.pallas)
 
 
 def load_yaml(path: str) -> dict[str, Any]:

@@ -1,0 +1,76 @@
+"""Pallas kernel equivalence tests (interpret mode on the CPU mesh)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ba_path_planning_tpu.ops import make_pair_index
+from ba_path_planning_tpu.ops.pallas.banded_solve import solve_factorized_pallas
+from ba_path_planning_tpu.solvers.banded import (assemble_blocks, factorize,
+                                                 row_scaling_state,
+                                                 rho_pattern, solve_factorized,
+                                                 build_bounds)
+from ba_path_planning_tpu.utils import Limits, SolverConfig
+
+
+def test_pallas_banded_solve_matches_scan():
+    N, K, h = 3, 8, 0.2
+    n = 6 * N
+    P = N * (N - 1) // 2
+    B = 4
+    rng = np.random.default_rng(0)
+    pairs = make_pair_index(N, dtype=jnp.float32)
+    cfg = SolverConfig(method="direct", adaptive_rho=False)
+
+    p0 = jnp.asarray(rng.uniform(4, 16, (B, N, 2)), jnp.float32)
+    pf = p0 + 0.5
+    v0 = jnp.zeros((B, N, 2), jnp.float32)
+    lower, upper = jax.vmap(
+        lambda a, b_, c, d: build_bounds(a, b_, c, d, n_vehicles=N,
+                                         n_steps=K, h=h, limits=Limits(),
+                                         n_pairs=P))(p0, v0, pf, v0)
+    eta = jnp.asarray(rng.normal(size=(B, K, P, 2)), jnp.float32)
+    eta = eta / jnp.linalg.norm(eta, axis=-1, keepdims=True)
+    scaling = row_scaling_state(K, h, dtype=jnp.float32)
+
+    def mk(low, up, eta1):
+        rho_b = rho_pattern(low, up, scaling, cfg.static_part(),
+                            jnp.float32(cfg.rho),
+                            jnp.float32(cfg.col_rho_boost), (K, P))
+        D, Bm = assemble_blocks(rho_b, eta1, pairs.E, h=h,
+                                sigma=jnp.float32(cfg.sigma), n_vehicles=N)
+        return factorize(D, Bm)
+
+    Linv, Eb = jax.vmap(mk)(lower, upper, eta)
+    b = jnp.asarray(rng.normal(size=(B, K, n)), jnp.float32)
+
+    want = jax.vmap(solve_factorized)(Linv, Eb, b)
+    got = solve_factorized_pallas(Linv, Eb, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5,
+                               rtol=1e-4)
+
+
+def test_scp_direct_pallas_end_to_end_interpret():
+    """Full direct SCP with the Pallas solve path (interpret on CPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from ba_path_planning_tpu.solvers.scp import SCPEngine
+    from ba_path_planning_tpu.utils import ProblemConfig
+
+    p0 = np.array([[6.0, 10.0], [14.0, 10.0]])
+    pf = np.array([[14.0, 10.1], [6.0, 9.9]])
+    problem = ProblemConfig(n_vehicles=2, time_horizon=6.0, time_step=0.5,
+                            min_distance=1.0, max_iterations=8)
+    cfg = SolverConfig(method="direct", pallas=True, max_iter=500,
+                       polish=False, adaptive_rho=False)
+    eng = SCPEngine(problem, cfg, dtype=jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        res = eng.solve(p0, np.zeros((2, 2)), pf, np.zeros((2, 2)),
+                        key=jax.random.key(0))
+        res = jax.tree.map(np.asarray, res)
+    assert bool(res.feasible_final), (res.status, res.rel_step)
+
+    eng2 = SCPEngine(problem, cfg.replace(pallas=False), dtype=jnp.float32)
+    res2 = eng2.solve(p0, np.zeros((2, 2)), pf, np.zeros((2, 2)),
+                      key=jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(res.positions),
+                               np.asarray(res2.positions), atol=1e-3)
