@@ -392,7 +392,7 @@ def factorize(D, B):
         Lk = chol(Dk - jnp.einsum('ij,kj->ik', Ek, Ek, precision=_HP))
         return Lk, (Lk, Ek)
 
-    _, (Ls, Es) = jax.lax.scan(step, L0, (D[1:], B), unroll=2)
+    _, (Ls, Es) = jax.lax.scan(step, L0, (D[1:], B))
     L = jnp.concatenate([L0[None], Ls], axis=0)
     eye = jnp.eye(L.shape[-1], dtype=L.dtype)
     Linv = jax.lax.linalg.triangular_solve(
@@ -425,7 +425,7 @@ def solve_factorized(Linv, Eb, b):
         yk = mv(Lk, bk - mv(Ek, yprev))
         return yk, yk
 
-    _, ys = jax.lax.scan(fwd, y0, (Linv[1:], Eb, b[1:]), unroll=4)
+    _, ys = jax.lax.scan(fwd, y0, (Linv[1:], Eb, b[1:]))
     y = jnp.concatenate([y0[None], ys], axis=0)
 
     xK = mv_t(Linv[-1], y[-1])
@@ -435,8 +435,7 @@ def solve_factorized(Linv, Eb, b):
         xk = mv_t(Lk, yk - mv_t(Ek1, xnext))
         return xk, xk
 
-    _, xs = jax.lax.scan(bwd, xK, (Linv[:-1], Eb, y[:-1]), reverse=True,
-                         unroll=4)
+    _, xs = jax.lax.scan(bwd, xK, (Linv[:-1], Eb, y[:-1]), reverse=True)
     x = jnp.concatenate([xs, xK[None]], axis=0)
     return x
 

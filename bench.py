@@ -35,8 +35,8 @@ def main():
                             stop_mode="feasible")
     # state-space direct solver (block-tridiagonal exact x-updates) with
     # constraint tightening; produces ~100% collision-free trajectories
-    solver = SolverConfig(method="direct", eps_abs=1e-3, eps_rel=1e-3,
-                          max_iter=150, check_interval=50,
+    solver = SolverConfig(method="direct", pallas=True, eps_abs=1e-3,
+                          eps_rel=1e-3, max_iter=150, check_interval=50,
                           collision_margin=0.06, polish=False,
                           adaptive_rho=False)
 
