@@ -181,16 +181,17 @@ def _scp_solve(p0, v0, pf, vf, key, *, params: SolverParams,
 
     init = (a, qp0.y, jnp.int32(0), jnp.asarray(False), jnp.asarray(False),
             jnp.asarray(jnp.inf, dtype), qp0.iters, qp0.converged)
-    a, _y, iters, converged, _stop, rel_step, qp_iters, qp_ok = \
+    a, _y, iters, converged, stopped, rel_step, qp_iters, qp_ok = \
         jax.lax.while_loop(cond, body, init)
 
     # ---- final rollout (scp.py:168-180)
     positions, velocities = rollout(a, p0, v0, h)
     feasible_final = check_feasible(positions, pairs, R)
 
+    # status reflects the active stopping rule (see _scp_solve_direct)
     status = jnp.where(
         feasible_initial, STATUS_FEASIBLE_INITIAL,
-        jnp.where(converged, STATUS_CONVERGED, STATUS_MAX_ITERS))
+        jnp.where(stopped, STATUS_CONVERGED, STATUS_MAX_ITERS))
 
     return SCPResult(positions=positions, velocities=velocities,
                      accelerations=a, iterations=iters,
@@ -231,6 +232,12 @@ class SCP:
         self.initial_velocities = None
         self.final_positions = None
         self.final_velocities = None
+        if solver is None:
+            # direct state-space solver: equivalent QP solutions (tested),
+            # far faster and float32-safe; hard collision constraints and
+            # "reference" stop mode preserve reference semantics
+            solver = SolverConfig(method="direct", polish=False,
+                                  adaptive_rho=False, max_iter=2000)
         self._solver_cfg = solver
         self._dtype = dtype if dtype is not None else jnp.float32
         self._engine_cache: dict[int, SCPEngine] = {}
@@ -402,14 +409,17 @@ def _scp_solve_direct(p0, v0, pf, vf, key, *, params: SolverParams,
 
     init = (a, qp0.y, jnp.int32(0), jnp.asarray(False), jnp.asarray(False),
             jnp.asarray(jnp.inf, dtype), qp0.iters, qp0.converged)
-    a, _y, iters, converged, _stop, rel_step, qp_iters, qp_ok = \
+    a, _y, iters, converged, stopped, rel_step, qp_iters, qp_ok = \
         jax.lax.while_loop(cond, body, init)
 
     positions, velocities = rollout(a, p0, v0, h)
     feasible_final = check_feasible(positions, pairs, R)
+    # status reflects the active stopping rule: in "feasible" mode, stopping
+    # early means the trajectory went collision-free; in "reference" mode it
+    # means step-norm convergence (scp.py:161)
     status = jnp.where(
         feasible_initial, STATUS_FEASIBLE_INITIAL,
-        jnp.where(converged, STATUS_CONVERGED, STATUS_MAX_ITERS))
+        jnp.where(stopped, STATUS_CONVERGED, STATUS_MAX_ITERS))
 
     return SCPResult(positions=positions, velocities=velocities,
                      accelerations=a, iterations=iters,
