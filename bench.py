@@ -36,9 +36,9 @@ def main():
     # state-space direct solver (block-tridiagonal exact x-updates) with
     # constraint tightening; produces ~100% collision-free trajectories
     solver = SolverConfig(method="direct", pallas=True, eps_abs=1e-3,
-                          eps_rel=1e-3, max_iter=150, check_interval=50,
-                          collision_margin=0.06, polish=False,
-                          adaptive_rho=False)
+                          eps_rel=1e-3, rho=1.6, max_iter=75,
+                          check_interval=75, collision_margin=0.10,
+                          polish=False, adaptive_rho=False)
 
     devices = jax.devices()
     n_dev = len(devices)
