@@ -107,7 +107,9 @@ def run_batch_for_n(n: int, cfg: dict, dtype) -> list[dict]:
     v0 = jnp.zeros((padded, n, 2), dtype=dtype)
     keys = jax.random.split(jax.random.fold_in(master, 1), padded)
 
-    solver = ShardedSCPSolver(problem, mesh=mesh, dtype=dtype)
+    from ..utils.config import SolverConfig
+    solver = ShardedSCPSolver(problem, SolverConfig.production(), mesh=mesh,
+                              dtype=dtype)
     # compile excluded from timing (one-time cost, reported separately)
     res = solver.solve(sc.initial, v0, sc.final, v0, keys)
     jax.block_until_ready(res)

@@ -35,10 +35,7 @@ def main():
                             stop_mode="feasible")
     # state-space direct solver (block-tridiagonal exact x-updates) with
     # constraint tightening; produces ~100% collision-free trajectories
-    solver = SolverConfig(method="direct", pallas=True, eps_abs=1e-3,
-                          eps_rel=1e-3, rho=1.6, max_iter=75,
-                          check_interval=75, collision_margin=0.10,
-                          polish=False, adaptive_rho=False)
+    solver = SolverConfig.production()
 
     devices = jax.devices()
     n_dev = len(devices)
