@@ -170,6 +170,16 @@ def generate_positions(n_vehicles, min_distance=0.4, max_attempts=1000,
 # Scenario analysis (position_generator.py:173-205)
 # ---------------------------------------------------------------------------
 
+def visualize_scenario(initial_positions, final_positions, min_distance=0.4,
+                       save_path=None, show=False):
+    """Drop-in for the reference ``visualize_scenario``
+    (position_generator.py:78-170); delegates to the viz layer."""
+    from ..viz.plots import plot_scenario
+    return plot_scenario(initial_positions, final_positions,
+                         min_distance=min_distance, save_path=save_path,
+                         show=show)
+
+
 def minimum_distance(positions: np.ndarray) -> tuple[float, tuple[int, int]]:
     """Min pairwise distance and the closest pair."""
     pos = np.asarray(positions)

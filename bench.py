@@ -39,14 +39,14 @@ def main():
 
     devices = jax.devices()
     n_dev = len(devices)
-    batch = int(128 * n_dev)
+    batch = int(256 * n_dev)
 
     mesh = make_mesh(devices)
     sh = ShardedSCPSolver(problem, solver, mesh=mesh, dtype=jnp.float32)
 
     # host-side chunking: each dispatch stays well under the runtime's
     # execution deadline; chunks also bound the batched while_loop tail
-    chunk = 64 * n_dev
+    chunk = 256 * n_dev
 
     sc = generate_scenario_batch(jax.random.key(0), batch,
                                  n_vehicles=problem.n_vehicles,
