@@ -39,14 +39,14 @@ def main():
 
     devices = jax.devices()
     n_dev = len(devices)
-    batch = int(256 * n_dev)
+    batch = int(128 * n_dev)
 
     mesh = make_mesh(devices)
     sh = ShardedSCPSolver(problem, solver, mesh=mesh, dtype=jnp.float32)
 
     # host-side chunking: each dispatch stays well under the runtime's
     # execution deadline; chunks also bound the batched while_loop tail
-    chunk = 256 * n_dev
+    chunk = 128 * n_dev
 
     sc = generate_scenario_batch(jax.random.key(0), batch,
                                  n_vehicles=problem.n_vehicles,
@@ -75,6 +75,20 @@ def main():
     ok = int(ff.sum())
     solves_per_sec = ok / dt
 
+    # p50 single-scenario solve latency (BASELINE.md metric): time a few
+    # individual solves through the unbatched engine
+    lat = []
+    for i in range(5):
+        sci = generate_scenario_batch(jax.random.key(50 + i), 1,
+                                      n_vehicles=problem.n_vehicles,
+                                      min_distance=problem.min_distance)
+        t0 = time.perf_counter()
+        r1 = sh.engine.solve(sci.initial[0], v0[0], sci.final[0], v0[0],
+                             key=jax.random.key(60 + i))
+        np.asarray(r1.feasible_final)
+        lat.append(time.perf_counter() - t0)
+    p50_latency_ms = float(np.median(lat[1:]) * 1e3)   # skip compile call
+
     target_per_chip = 1000.0 / 16.0
     out = {
         "metric": "scenario_solves_per_sec",
@@ -87,7 +101,8 @@ def main():
           f"collision_free={ok}/{batch} "
           f"statuses={np.bincount(status, minlength=3).tolist()} "
           f"mean_scp_iters={float(np.asarray(res.iterations).mean()):.2f} "
-          f"mean_qp_iters={float(np.asarray(res.qp_iterations).mean()):.0f}",
+          f"mean_qp_iters={float(np.asarray(res.qp_iterations).mean()):.0f} "
+          f"p50_single_scenario_latency_ms={p50_latency_ms:.1f}",
           file=sys.stderr)
 
 
