@@ -214,3 +214,28 @@ def test_scp_direct_end_to_end():
                           key=jax.random.key(0))
     np.testing.assert_allclose(np.asarray(res.positions),
                                np.asarray(res_cg.positions), atol=5e-3)
+
+
+def test_scp_direct_matches_oracle_scp():
+    """Direct-solver SCP vs the dense scipy oracle at reference control flow
+    (three vehicles forced through a shared corridor)."""
+    from ba_path_planning_tpu.solvers.scp import SCPEngine
+    from ba_path_planning_tpu.utils import ProblemConfig
+    from oracles import reference_math as oracle
+
+    N, K, h, R = 3, 14, 0.5, 1.0
+    p0 = np.array([[6.0, 9.0], [14.0, 10.0], [6.0, 11.0]])
+    pf = np.array([[14.0, 10.5], [6.0, 10.0], [14.0, 9.5]])
+    v0 = np.zeros((N, 2))
+    vf = np.zeros((N, 2))
+    problem = ProblemConfig(n_vehicles=N, time_horizon=K * h, time_step=h,
+                            min_distance=R, max_iterations=15)
+    cfg = SolverConfig(method="direct", eps_abs=1e-6, eps_rel=1e-6,
+                       max_iter=20000, polish=False)
+    eng = SCPEngine(problem, cfg, dtype=jnp.float64)
+    res = eng.solve(p0, v0, pf, vf, key=jax.random.key(0))
+
+    ref = oracle.scp_solve(p0, v0, pf, vf, R=R, h=h, K=K, max_iterations=15)
+    assert int(res.iterations) == ref["iterations"]
+    np.testing.assert_allclose(np.asarray(res.positions), ref["positions"],
+                               atol=2e-3)
