@@ -400,6 +400,16 @@ def factorize(D, B):
     return Linv, Es
 
 
+def compress_factors(Linv, Eb, dtype):
+    """Optionally store factors at reduced precision (e.g. bfloat16): the
+    substitution sweeps are HBM-bandwidth-bound streaming the factors every
+    ADMM iteration, and ADMM tolerances (~1e-3) plus the collision margin
+    absorb the extra rounding.  No-op when dtype matches."""
+    if Linv.dtype == dtype:
+        return Linv, Eb
+    return Linv.astype(dtype), Eb.astype(dtype)
+
+
 def solve_factorized(Linv, Eb, b):
     """Solve M x = b given the (inverted) block factorization.  b: (K, n).
 
@@ -517,6 +527,8 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
         D, B = assemble_blocks(rho_b, eta, E, h=h, sigma=sigma,
                                n_vehicles=N)
         L, Eb = factorize(D, B)
+        if static.factor_dtype == "bf16":
+            L, Eb = compress_factors(L, Eb, jnp.bfloat16)
         return rho_b, L, Eb
 
     def admm_iter(x, z, y, rho_b, L, Eb):
@@ -528,7 +540,7 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
             xs = solve_factorized_single(L, Eb, to_stacked(b_sv))
         else:
             xs = solve_factorized(L, Eb, to_stacked(b_sv))
-        x_t = from_stacked(xs, N)
+        x_t = from_stacked(xs.astype(dtype), N)
         x_new = _tmap(lambda xt, xx: alpha * xt + (1 - alpha) * xx, x_t, x)
         Ax_t = apply_A(x_t, eta, E, h)
         z_rel = _tmap(lambda az, zz: alpha * az + (1 - alpha) * zz, Ax_t, z)

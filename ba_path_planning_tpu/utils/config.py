@@ -85,6 +85,7 @@ class SolverStatic:
     method: str = "cg"               # "cg" (accel-space PCG) | "direct"
     #                                  (state-space block-tridiag Cholesky)
     pallas: bool = False             # fused Pallas kernel for banded solves
+    factor_dtype: str = "f32"        # "f32" | "bf16" factor storage (direct)
 
 
 @dataclass(frozen=True)
@@ -114,6 +115,7 @@ class SolverConfig:
     operator_impl: str = "scan"      # "scan" (VPU prefix sums) | "matmul" (MXU)
     method: str = "cg"               # QP solver: "cg" | "direct" (see SolverStatic)
     pallas: bool = False             # fused Pallas kernel for banded solves
+    factor_dtype: str = "f32"        # "f32" | "bf16" factor storage (direct)
     # Exact-penalty weight on collision rows: inf = hard constraints
     # (reference semantics); finite = soft rows that keep infeasible SCP
     # linearizations well-posed (bench/production mode)
@@ -134,7 +136,8 @@ class SolverConfig:
                             adaptive_rho=self.adaptive_rho,
                             polish=self.polish,
                             operator_impl=self.operator_impl,
-                            method=self.method, pallas=self.pallas)
+                            method=self.method, pallas=self.pallas,
+                            factor_dtype=self.factor_dtype)
 
     @classmethod
     def production(cls, pallas: bool | None = None) -> "SolverConfig":
