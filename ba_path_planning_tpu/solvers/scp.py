@@ -160,6 +160,16 @@ def _scp_solve(p0, v0, pf, vf, key, *, params: SolverParams,
         qp = solve_qp_impl(data, pairs.E, Minv, a, params, y_prev, h=h,
                            static=solver)
         a_new = qp.x
+        # Divergence guard: an infeasible linearization can blow the ADMM
+        # iterates up (the dual grows unboundedly).  Any valid QP solution
+        # respects the acceleration box, so an iterate far outside it marks a
+        # failed solve — reject the step and keep the previous iterate, the
+        # counterpart of the reference's warn-and-continue on OSQP failure
+        # (scp.py:446-449) without propagating garbage.
+        acc_cap = 2.0 * max(abs(problem.acc_min), abs(problem.acc_max))
+        bad = jnp.logical_or(jnp.logical_not(jnp.all(jnp.isfinite(a_new))),
+                             jnp.max(jnp.abs(a_new)) > acc_cap)
+        a_new = jnp.where(bad, a, a_new)
         step = jnp.linalg.norm((a_new - a).reshape(-1))
         denom = jnp.maximum(jnp.linalg.norm(a.reshape(-1)), 1e-30)
         rel_step = step / denom
@@ -388,6 +398,16 @@ def _scp_solve_direct(p0, v0, pf, vf, key, *, params: SolverParams,
         qp = solve_qp_state(lower_it, upper_s, eta, x_warm, params, pairs.E,
                             h=h, static=solver, n_vehicles=N, y_init=y_prev)
         a_new = qp.x.a
+        # Divergence guard: an infeasible linearization can blow the ADMM
+        # iterates up (the dual grows unboundedly).  Any valid QP solution
+        # respects the acceleration box, so an iterate far outside it marks a
+        # failed solve — reject the step and keep the previous iterate, the
+        # counterpart of the reference's warn-and-continue on OSQP failure
+        # (scp.py:446-449) without propagating garbage.
+        acc_cap = 2.0 * max(abs(problem.acc_min), abs(problem.acc_max))
+        bad = jnp.logical_or(jnp.logical_not(jnp.all(jnp.isfinite(a_new))),
+                             jnp.max(jnp.abs(a_new)) > acc_cap)
+        a_new = jnp.where(bad, a, a_new)
         step = jnp.linalg.norm((a_new - a).reshape(-1))
         denom = jnp.maximum(jnp.linalg.norm(a.reshape(-1)), 1e-30)
         rel_step = step / denom
