@@ -58,6 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--results-dir", type=str, default=None)
     p.add_argument("--dtype", choices=["float32", "float64"],
                    default="float32")
+    p.add_argument("--solver", choices=["production", "reference"],
+                   default="production",
+                   help="'production': tuned direct solver, goal-directed "
+                        "stopping; 'reference': step-norm stopping with "
+                        "hard collision constraints (reference semantics)")
+    p.add_argument("--stop-mode", choices=["feasible", "reference"],
+                   default=None, help="override the SCP stopping rule")
     return p
 
 
@@ -79,7 +86,8 @@ def _merge_config(args) -> dict:
     return cfg
 
 
-def run_batch_for_n(n: int, cfg: dict, dtype) -> list[dict]:
+def run_batch_for_n(n: int, cfg: dict, dtype, solver_kind: str = "production",
+                    stop_mode: str | None = None) -> list[dict]:
     """Solve all trials for one vehicle count as a single batched program."""
     import jax
     import jax.numpy as jnp
@@ -88,11 +96,13 @@ def run_batch_for_n(n: int, cfg: dict, dtype) -> list[dict]:
     from ..scenarios import generate_scenario_batch
     from ..utils.config import ProblemConfig
 
+    if stop_mode is None:
+        stop_mode = "feasible" if solver_kind == "production" else "reference"
     problem = ProblemConfig(
         n_vehicles=n, time_horizon=cfg["time_horizon"],
         time_step=cfg["time_step"], min_distance=cfg["min_distance"],
         space_dims=tuple(cfg["space_dims"]),
-        max_iterations=cfg["max_iterations"])
+        max_iterations=cfg["max_iterations"], stop_mode=stop_mode)
 
     trials = int(cfg["trials_per_N"])
     mesh = make_mesh()
@@ -108,8 +118,14 @@ def run_batch_for_n(n: int, cfg: dict, dtype) -> list[dict]:
     keys = jax.random.split(jax.random.fold_in(master, 1), padded)
 
     from ..utils.config import SolverConfig
-    solver = ShardedSCPSolver(problem, SolverConfig.production(), mesh=mesh,
-                              dtype=dtype)
+    if solver_kind == "production":
+        solver_cfg = SolverConfig.production()
+    else:
+        # hard collision constraints, reference-style inner solver budget
+        solver_cfg = SolverConfig.production().replace(
+            collision_margin=0.0, col_penalty=float("inf"), max_iter=500,
+            check_interval=100)
+    solver = ShardedSCPSolver(problem, solver_cfg, mesh=mesh, dtype=dtype)
     # compile excluded from timing (one-time cost, reported separately)
     res = solver.solve(sc.initial, v0, sc.final, v0, keys)
     jax.block_until_ready(res)
@@ -209,7 +225,8 @@ def main(argv=None) -> int:
 
     for n in cfg["Ns"]:
         print(f"==> N = {n}")
-        rows = run_batch_for_n(n, cfg, dtype)
+        rows = run_batch_for_n(n, cfg, dtype, solver_kind=args.solver,
+                               stop_mode=args.stop_mode)
         all_results["runs"].extend(rows)
         succ = sum(1 for r in rows if r["status"] == "success")
         mean_t = float(np.mean([r["time_sec"] for r in rows]))
