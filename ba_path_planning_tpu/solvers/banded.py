@@ -509,10 +509,11 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
     sigma = params.sigma
     alpha = params.alpha
     scaling = row_scaling_state(K, h, dtype=dtype)
-    # the fused kernel holds a scenario's full factor set in VMEM; fall back
-    # to the XLA scan when (double-buffered) factors would not fit
+    # the resident kernel holds a scenario's full factor set in VMEM; when
+    # (double-buffered) factors would not fit, use the streaming-DMA kernel
     factor_bytes = 2 * K * (6 * N) ** 2 * jnp.dtype(dtype).itemsize
-    use_pallas = static.pallas and 2 * factor_bytes <= 12 * 1024 * 1024
+    pallas_resident = static.pallas and 2 * factor_bytes <= 12 * 1024 * 1024
+    use_pallas = static.pallas
 
     Ax0 = apply_A(x_init, eta, E, h)
     z0 = _tmap(jnp.clip, Ax0, lower, upper)
@@ -535,9 +536,12 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
         rzy = _tmap(lambda zz, yy, rr: rr * zz - yy, z, y, rho_b)
         b_sv = apply_AT(rzy, eta, E, h)
         b_sv = _tmap(lambda bb, xx: bb + sigma * xx, b_sv, x)
-        if use_pallas:
+        if pallas_resident:
             from ..ops.pallas.banded_solve import solve_factorized_single
             xs = solve_factorized_single(L, Eb, to_stacked(b_sv))
+        elif use_pallas:
+            from ..ops.pallas.banded_solve import solve_factorized_streaming
+            xs = solve_factorized_streaming(L, Eb, to_stacked(b_sv))
         else:
             xs = solve_factorized(L, Eb, to_stacked(b_sv))
         x_t = from_stacked(xs.astype(dtype), N)

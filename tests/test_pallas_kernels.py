@@ -74,3 +74,43 @@ def test_scp_direct_pallas_end_to_end_interpret():
                       key=jax.random.key(0))
     np.testing.assert_allclose(np.asarray(res.positions),
                                np.asarray(res2.positions), atol=1e-3)
+
+
+def test_pallas_streaming_solve_matches_scan():
+    """Streaming-DMA kernel equals the XLA scan solve (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from ba_path_planning_tpu.ops.pallas.banded_solve import (
+        solve_factorized_streaming)
+    N, K, h = 3, 8, 0.2
+    n = 6 * N
+    P = N * (N - 1) // 2
+    B = 2
+    rng = np.random.default_rng(7)
+    pairs = make_pair_index(N, dtype=jnp.float32)
+    cfg = SolverConfig(method="direct", adaptive_rho=False)
+    p0 = jnp.asarray(rng.uniform(4, 16, (B, N, 2)), jnp.float32)
+    pf = p0 + 0.5
+    v0 = jnp.zeros((B, N, 2), jnp.float32)
+    lower, upper = jax.vmap(
+        lambda a, b_, c, d: build_bounds(a, b_, c, d, n_vehicles=N,
+                                         n_steps=K, h=h, limits=Limits(),
+                                         n_pairs=P))(p0, v0, pf, v0)
+    eta = jnp.asarray(rng.normal(size=(B, K, P, 2)), jnp.float32)
+    eta = eta / jnp.linalg.norm(eta, axis=-1, keepdims=True)
+    scaling = row_scaling_state(K, h, dtype=jnp.float32)
+
+    def mk(low, up, eta1):
+        rho_b = rho_pattern(low, up, scaling, cfg.static_part(),
+                            jnp.float32(cfg.rho),
+                            jnp.float32(cfg.col_rho_boost), (K, P))
+        D, Bm = assemble_blocks(rho_b, eta1, pairs.E, h=h,
+                                sigma=jnp.float32(cfg.sigma), n_vehicles=N)
+        return factorize(D, Bm)
+
+    Linv, Eb = jax.vmap(mk)(lower, upper, eta)
+    b = jnp.asarray(rng.normal(size=(B, K, n)), jnp.float32)
+    want = jax.vmap(solve_factorized)(Linv, Eb, b)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.vmap(solve_factorized_streaming)(Linv, Eb, b)
+        got = np.asarray(got)
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5, rtol=1e-4)
