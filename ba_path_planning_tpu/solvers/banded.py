@@ -243,6 +243,44 @@ def row_scaling_state(n_steps: int, h: float, dtype=jnp.float32) -> RowVals:
                    vbox=d(one), pbox=d(one), col=d(col))
 
 
+def rho_pattern_masks(scaling: RowVals, static: SolverStatic, rho, col_boost,
+                      *, n_steps: int, n_pairs: int, col_enabled: bool,
+                      dtype=jnp.float32) -> RowVals:
+    """Per-row rho built from the STRUCTURAL equality pattern instead of the
+    bound values: dynamics rows are always equalities, vbox/pbox rows are
+    equalities exactly at the terminal step k = K-1, jerk/acc never
+    (``build_bounds`` above; reference bound layout at scp.py:206-257).
+
+    Unlike :func:`rho_pattern` this never reads per-scenario bounds, so the
+    result is batch-independent: under ``vmap`` the rho pattern — and with it
+    the entire static part of the normal matrix — is computed once for the
+    whole scenario batch instead of per scenario.  Leaves are broadcastable
+    (K, 1) columns ((K, P) for collision rows).
+    """
+    K = n_steps
+    eq = jnp.asarray(static.rho_eq_scale * rho, dtype)
+    box_r = jnp.asarray(rho, dtype)
+
+    def bcast(s, val):
+        return jnp.broadcast_to(jnp.asarray(val, dtype), s.shape)
+
+    is_term = (jnp.arange(K) == K - 1).reshape(K, 1)
+    vbox = jnp.where(is_term, eq, box_r) * scaling.vbox * scaling.vbox
+    pbox = jnp.where(is_term, eq, box_r) * scaling.pbox * scaling.pbox
+    if col_enabled:
+        col = col_boost * box_r * scaling.col * scaling.col
+        col = jnp.where((jnp.arange(K) == 0).reshape(K, 1), _LOOSE_RHO, col)
+    else:
+        col = jnp.full((K, 1), _LOOSE_RHO, dtype)
+    return RowVals(
+        dyn_p=eq * scaling.dyn_p * scaling.dyn_p,
+        dyn_v=eq * scaling.dyn_v * scaling.dyn_v,
+        jerk=bcast(scaling.jerk, box_r) * scaling.jerk * scaling.jerk,
+        acc=bcast(scaling.acc, box_r) * scaling.acc * scaling.acc,
+        vbox=vbox, pbox=pbox,
+        col=jnp.broadcast_to(col, (K, n_pairs)))
+
+
 def rho_pattern(lower: RowVals, upper: RowVals, scaling: RowVals,
                 static: SolverStatic, rho, col_boost,
                 col_shape) -> RowVals:
@@ -288,28 +326,28 @@ def _slot_diag(n6, n2, sr, sc, vals_k):
     return out.at[:, sr * n2 + idx, sc * n2 + idx].set(vals_k[:, None])
 
 
-def assemble_blocks(rho: RowVals, eta, E, *, h: float, sigma,
-                    n_vehicles: int):
-    """Build D (K, 6N, 6N) and B (K-1, 6N, 6N) for one scenario.
+def _per_k(leaf) -> jnp.ndarray:
+    """Per-k scalar rho from a broadcastable (K', 1) or full (N, K', 2) leaf."""
+    if leaf.ndim == 2:
+        return leaf[:, 0]
+    return leaf[..., 0, :, 0]
 
-    ``rho`` leaves carry per-row rho; static rows are per-(k) scalars
-    broadcast over vehicles/axes (we read index [..., 0, :, 0] patterns),
-    collision rho is (K, P).
+
+def _tridiag_scalars(rho: RowVals, *, h: float, sigma) -> dict:
+    """The per-k scalar entries of the (a, p, v)-slot 3x3 coupling pattern.
+
+    Every static constraint row acts identically on all 2N (vehicle, axis)
+    channels, so M's static part is fully described by these per-k scalars;
+    only collision rows add channel coupling (p-p slot of D).
     """
-    N = n_vehicles
-    n2 = 2 * N
-    n6 = 6 * N
-    K = rho.acc.shape[-2]
     dtype = rho.acc.dtype
     h2 = h * h
-
-    # per-k scalars (static rho patterns are uniform over vehicles/axes)
-    rdp = rho.dyn_p[..., 0, :, 0]            # (K,)
-    rdv = rho.dyn_v[..., 0, :, 0]
-    rj = rho.jerk[..., 0, :, 0]              # (K-1,)
-    ra = rho.acc[..., 0, :, 0]
-    rv = rho.vbox[..., 0, :, 0]
-    rp = rho.pbox[..., 0, :, 0]
+    rdp = _per_k(rho.dyn_p)                  # (K,)
+    rdv = _per_k(rho.dyn_v)
+    rj = _per_k(rho.jerk)                    # (K-1,)
+    ra = _per_k(rho.acc)
+    rv = _per_k(rho.vbox)
+    rp = _per_k(rho.pbox)
 
     zero = jnp.zeros((), dtype)
     rdp_next = jnp.concatenate([rdp[1:], zero[None]])    # rho_dp_{k+1}, 0 at K-1
@@ -317,49 +355,113 @@ def assemble_blocks(rho: RowVals, eta, E, *, h: float, sigma,
     rj_prev = jnp.concatenate([zero[None], rj])          # jerk row k-1
     rj_here = jnp.concatenate([rj, zero[None]])          # jerk row k
 
-    aa = 2.0 + sigma + rdp * (0.25 * h2 * h2) + rdv * h2 + ra \
-        + (rj_here + rj_prev) / h2
-    pp = sigma + rdp + rdp_next + rp
-    vv = sigma + rdv + rdv_next + rdp_next * h2 + rv
-    ap = -0.5 * h2 * rdp
-    av = -h * rdv
-    pv = h * rdp_next
+    return dict(
+        aa=2.0 + sigma + rdp * (0.25 * h2 * h2) + rdv * h2 + ra
+           + (rj_here + rj_prev) / h2,
+        pp=sigma + rdp + rdp_next + rp,
+        vv=sigma + rdv + rdv_next + rdp_next * h2 + rv,
+        ap=-0.5 * h2 * rdp,
+        av=-h * rdv,
+        pv=h * rdp_next,
+        # B_k entries (rows u_k, cols u_{k-1}), k = 1..K-1
+        aa_b=-rj / h2,
+        ap_pk=0.5 * h2 * rdp[1:],
+        av_bk=0.5 * h2 * h * rdp[1:] + h * rdv[1:],
+        pp_b=-rdp[1:],
+        pv_b=-h * rdp[1:],
+        vv_b=-rdv[1:],
+    )
+
+
+def assemble_channel(rho: RowVals, *, h: float, sigma):
+    """Collision-free normal blocks in per-channel form: D (K, 3, 3) and
+    B (K-1, 3, 3), slot order (a, p, v).
+
+    Without collision rows M decouples over the 2N (vehicle, axis) channels
+    with an IDENTICAL 3x3-block tridiagonal system per channel — the full
+    (6N)^2 factorization of the initial QP (scp.py:323-369 has no collision
+    rows) is redundant across channels AND scenarios.  Combined with the
+    batch-independent :func:`rho_pattern_masks` this makes the phase-1
+    factorization a single tiny shared computation for the whole batch.
+    """
+    s = _tridiag_scalars(rho, h=h, sigma=sigma)
+    zero = jnp.zeros_like(s["aa_b"])
+    D = jnp.stack([
+        jnp.stack([s["aa"], s["ap"], s["av"]], axis=-1),
+        jnp.stack([s["ap"], s["pp"], s["pv"]], axis=-1),
+        jnp.stack([s["av"], s["pv"], s["vv"]], axis=-1),
+    ], axis=-2)
+    B = jnp.stack([
+        jnp.stack([s["aa_b"], s["ap_pk"], s["av_bk"]], axis=-1),
+        jnp.stack([zero, s["pp_b"], s["pv_b"]], axis=-1),
+        jnp.stack([zero, zero, s["vv_b"]], axis=-1),
+    ], axis=-2)
+    return D, B
+
+
+def b_scalar_stack(s: dict) -> jnp.ndarray:
+    """Stack the six B_k slot scalars as (K-1, 6) in the fixed order
+    (aa_b, ap_pk, av_bk, pp_b, pv_b, vv_b) used by the B-apply helpers."""
+    return jnp.stack([s["aa_b"], s["ap_pk"], s["av_bk"], s["pp_b"],
+                      s["pv_b"], s["vv_b"]], axis=-1)
+
+
+def assemble_skeleton(rho: RowVals, *, h: float, sigma, n_vehicles: int):
+    """Dense collision-free diagonal blocks D (K, 6N, 6N) — the slot-diagonal
+    skeleton shared by every scenario (batch-independent under mask-based
+    rho patterns)."""
+    N = n_vehicles
+    n2 = 2 * N
+    n6 = 6 * N
+
+    s = _tridiag_scalars(rho, h=h, sigma=sigma)
+    aa, pp, vv, ap, av, pv = (s["aa"], s["pp"], s["vv"], s["ap"], s["av"],
+                              s["pv"])
 
     D = (_slot_diag(n6, n2, 0, 0, aa) + _slot_diag(n6, n2, 1, 1, pp)
          + _slot_diag(n6, n2, 2, 2, vv)
          + _slot_diag(n6, n2, 0, 1, ap) + _slot_diag(n6, n2, 1, 0, ap)
          + _slot_diag(n6, n2, 0, 2, av) + _slot_diag(n6, n2, 2, 0, av)
          + _slot_diag(n6, n2, 1, 2, pv) + _slot_diag(n6, n2, 2, 1, pv))
+    return D, s
 
-    # collision outer products on the p-part of D_{k-1} (rows at time k
-    # touch p_k = p-slot of u_{k-1}):  G_k = E x eta_k  (2N, P)
+
+def collision_blocks(rho_col, eta, E) -> jnp.ndarray:
+    """Per-scenario collision contributions to the p-p slot of D.
+
+    Collision rows at time k touch p_k, which lives on the p-slot of
+    super-block u_{k-1}; returns (K, 2N, 2N) already shifted so entry k adds
+    onto D_k (last entry zero).  G_k = E x eta_k per (scp.py:489-534 algebra).
+    """
+    K = eta.shape[-3]
     G = jnp.einsum('np,kpc->kncp', E, eta).reshape(K, -1, E.shape[1])
-    rc = rho.col                                     # (K, P)
-    colM = jnp.einsum('kip,kp,kjp->kij', G, rc, G, precision=_HP)
-    colM_shift = colM[1:]                            # times 1..K-1 -> D_0..D_{K-2}
-    colM_pad = jnp.concatenate(
-        [colM_shift, jnp.zeros_like(colM[:1])], axis=0)
+    colM = jnp.einsum('kip,kp,kjp->kij', G, rho_col, G, precision=_HP)
+    return jnp.concatenate([colM[1:], jnp.zeros_like(colM[:1])], axis=0)
+
+
+def assemble_blocks(rho: RowVals, eta, E, *, h: float, sigma,
+                    n_vehicles: int):
+    """Build D (K, 6N, 6N) and B (K-1, 6N, 6N) for one scenario.
+
+    ``rho`` leaves carry per-row rho; static rows are per-(k) scalars
+    uniform over vehicles/axes, collision rho is (K, P).
+    """
+    N = n_vehicles
+    n2 = 2 * N
+    n6 = 6 * N
+
+    D, s = assemble_skeleton(rho, h=h, sigma=sigma, n_vehicles=N)
+    D = D + 0.0  # ensure own buffer before the in-place add
+    colM_pad = collision_blocks(rho.col, eta, E)
     D = D.at[:, n2:2 * n2, n2:2 * n2].add(colM_pad)
 
     # B_k: rows u_k, cols u_{k-1}, k = 1..K-1
-    rdp_k = rdp[1:]
-    rdv_k = rdv[1:]
-    rj_km1 = rj                                      # jerk row k-1, k=1..K-1
-    n_b = K - 1
-    ap_pk = 0.5 * h2 * rdp_k                         # (a_k, p_k)
-    ap_vk = 0.5 * h2 * h * rdp_k                     # (a_k, v_k)
-    pp_b = -rdp_k                                    # (p_{k+1}, p_k)
-    pv_b = -h * rdp_k                                # (p_{k+1}, v_k)
-    av_b = h * rdv_k                                 # (a_k, v_k) from dyn_v
-    vv_b = -rdv_k                                    # (v_{k+1}, v_k)
-    aa_b = -rj_km1 / h2                              # (a_k, a_{k-1})
-
-    B = (_slot_diag(n6, n2, 0, 0, aa_b)
-         + _slot_diag(n6, n2, 0, 1, ap_pk)
-         + _slot_diag(n6, n2, 0, 2, ap_vk + av_b)
-         + _slot_diag(n6, n2, 1, 1, pp_b)
-         + _slot_diag(n6, n2, 1, 2, pv_b)
-         + _slot_diag(n6, n2, 2, 2, vv_b))
+    B = (_slot_diag(n6, n2, 0, 0, s["aa_b"])         # (a_k, a_{k-1}) jerk
+         + _slot_diag(n6, n2, 0, 1, s["ap_pk"])      # (a_k, p_k)
+         + _slot_diag(n6, n2, 0, 2, s["av_bk"])      # (a_k, v_k) dyn_p+dyn_v
+         + _slot_diag(n6, n2, 1, 1, s["pp_b"])       # (p_{k+1}, p_k)
+         + _slot_diag(n6, n2, 1, 2, s["pv_b"])       # (p_{k+1}, v_k)
+         + _slot_diag(n6, n2, 2, 2, s["vv_b"]))      # (v_{k+1}, v_k)
     return D, B
 
 
@@ -450,6 +552,43 @@ def solve_factorized(Linv, Eb, b):
     return x
 
 
+def solve_factorized_channel(Linv, Eb, b):
+    """Channel-shared banded solve for the collision-free system.
+
+    Linv (K, 3, 3) / Eb (K-1, 3, 3): UNBATCHED factors from
+    ``factorize(*assemble_channel(...))`` — shared by every (vehicle, axis)
+    channel and every scenario.  b: (K, 3, C) stacked right-hand side with C
+    channel columns (C = 2N per scenario; under vmap the batch dim folds into
+    the einsum so each step is one small (3, 3) x (3, B*2N) MXU matmul).
+    Returns x (K, 3, C).
+    """
+    def mv(M, t):
+        return jnp.einsum('ij,...jc->...ic', M, t, precision=_HP)
+
+    def mv_t(M, t):
+        return jnp.einsum('ji,...jc->...ic', M, t, precision=_HP)
+
+    y0 = mv(Linv[0], b[0])
+
+    def fwd(yprev, inp):
+        Lk, Ek, bk = inp
+        yk = mv(Lk, bk - mv(Ek, yprev))
+        return yk, yk
+
+    _, ys = jax.lax.scan(fwd, y0, (Linv[1:], Eb, b[1:]))
+    y = jnp.concatenate([y0[None], ys], axis=0)
+
+    xK = mv_t(Linv[-1], y[-1])
+
+    def bwd(xnext, inp):
+        Lk, Ek1, yk = inp
+        xk = mv_t(Lk, yk - mv_t(Ek1, xnext))
+        return xk, xk
+
+    _, xs = jax.lax.scan(bwd, xK, (Linv[:-1], Eb, y[:-1]), reverse=True)
+    return jnp.concatenate([xs, xK[None]], axis=0)
+
+
 # ---------------------------------------------------------------------------
 # StateVars <-> stacked (K, 6N) layout
 # ---------------------------------------------------------------------------
@@ -497,18 +636,27 @@ class StateQPResult(NamedTuple):
 def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
                    params: SolverParams, E, *, h: float,
                    static: SolverStatic, n_vehicles: int,
-                   y_init: RowVals | None = None) -> StateQPResult:
+                   y_init: RowVals | None = None,
+                   col_enabled: bool = True) -> StateQPResult:
     """One ADMM solve in state space for a single scenario.
 
     Collision rows are controlled entirely through ``lower.col`` (-inf rows
     are disabled and carry the loose rho via the k=0 pattern plus eta=0).
+
+    ``col_enabled=False`` marks the collision-free initial QP
+    (scp.py:323-369): the normal matrix then decouples over (vehicle, axis)
+    channels, so the x-update runs on a tiny shared (K, 3, 3) factorization
+    (see :func:`assemble_channel`) computed once per batch instead of a
+    per-scenario (6N)^2 block factorization.
     """
     dtype = x_init.a.dtype
     N = n_vehicles
     K = x_init.a.shape[-2]
+    P = lower.col.shape[-1]
     sigma = params.sigma
     alpha = params.alpha
     scaling = row_scaling_state(K, h, dtype=dtype)
+    use_channel = not col_enabled
     # the resident kernel holds a scenario's full factor set in VMEM; when
     # (double-buffered) factors would not fit, use the streaming-DMA kernel
     factor_bytes = 2 * K * (6 * N) ** 2 * jnp.dtype(dtype).itemsize
@@ -520,11 +668,19 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
     y0 = _tmap(jnp.zeros_like, z0) if y_init is None else y_init
 
     def make_solver(rho_scalar):
-        rho_b = rho_pattern(lower, upper, scaling, static, rho_scalar,
-                            params.col_rho_boost, lower.col.shape)
-        # disabled collision rows (lower = -inf beyond row 0) -> loose rho
-        col_off = jnp.isinf(lower.col)
-        rho_b = rho_b._replace(col=jnp.where(col_off, _LOOSE_RHO, rho_b.col))
+        rho_b = rho_pattern_masks(scaling, static, rho_scalar,
+                                  params.col_rho_boost, n_steps=K, n_pairs=P,
+                                  col_enabled=col_enabled, dtype=dtype)
+        if col_enabled:
+            # disabled rows (lower = -inf beyond row 0) -> loose rho; the
+            # structural pattern already covers build_bounds-generated bounds,
+            # this keeps exact semantics for hand-built ones
+            col_off = jnp.isinf(lower.col)
+            rho_b = rho_b._replace(
+                col=jnp.where(col_off, _LOOSE_RHO, rho_b.col))
+        if use_channel:
+            Dc, Bc = assemble_channel(rho_b, h=h, sigma=sigma)
+            return rho_b, *factorize(Dc, Bc)
         D, B = assemble_blocks(rho_b, eta, E, h=h, sigma=sigma,
                                n_vehicles=N)
         L, Eb = factorize(D, B)
@@ -536,7 +692,12 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
         rzy = _tmap(lambda zz, yy, rr: rr * zz - yy, z, y, rho_b)
         b_sv = apply_AT(rzy, eta, E, h)
         b_sv = _tmap(lambda bb, xx: bb + sigma * xx, b_sv, x)
-        if pallas_resident:
+        if use_channel:
+            sb = to_stacked(b_sv)
+            xs3 = solve_factorized_channel(
+                L, Eb, sb.reshape(sb.shape[:-1] + (3, 2 * N)))
+            xs = xs3.reshape(sb.shape)
+        elif pallas_resident:
             from ..ops.pallas.banded_solve import solve_factorized_single
             xs = solve_factorized_single(L, Eb, to_stacked(b_sv))
         elif use_pallas:

@@ -374,10 +374,12 @@ def _scp_solve_direct(p0, v0, pf, vf, key, *, params: SolverParams,
                                     h=h, limits=problem.limits, n_pairs=P)
     eta0 = jnp.zeros((K, P, 2), dtype=dtype)
 
-    # ---- phase 1: initial QP (collision rows disabled via -inf bounds)
+    # ---- phase 1: initial QP (collision rows disabled via -inf bounds);
+    # col_enabled=False routes the x-updates through the shared per-channel
+    # (K, 3, 3) factorization — batch-independent, so vmap computes it once
     x0 = _warm_state(jnp.zeros((N, K, 2), dtype=dtype), p0, v0, h)
     qp0 = solve_qp_state(lower_s, upper_s, eta0, x0, params, pairs.E, h=h,
-                         static=solver, n_vehicles=N)
+                         static=solver, n_vehicles=N, col_enabled=False)
     a = qp0.x.a
 
     pos_init, _ = rollout(a, p0, v0, h)

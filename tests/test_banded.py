@@ -239,3 +239,76 @@ def test_scp_direct_matches_oracle_scp():
     assert int(res.iterations) == ref["iterations"]
     np.testing.assert_allclose(np.asarray(res.positions), ref["positions"],
                                atol=2e-3)
+
+
+def test_channel_factorization_matches_full():
+    """No-collision system: the shared (K, 3, 3) channel factorization must
+    reproduce the full (6N)^2 block-tridiagonal solve exactly."""
+    N, K, h = 4, 9, 0.2
+    P = N * (N - 1) // 2
+    cfg = SolverConfig(method="direct")
+    rng = np.random.default_rng(3)
+    p0 = jnp.asarray(rng.uniform(1, 19, (N, 2)))
+    pf = jnp.asarray(rng.uniform(1, 19, (N, 2)))
+    v0 = jnp.zeros((N, 2), jnp.float64)
+    lower, upper = build_bounds(p0, v0, pf, v0, n_vehicles=N, n_steps=K,
+                                h=h, limits=Limits(), n_pairs=P)
+    pairs = make_pair_index(N, dtype=jnp.float64)
+    eta0 = jnp.zeros((K, P, 2), jnp.float64)
+    scaling = row_scaling_state(K, h, dtype=jnp.float64)
+    rho_m = banded.rho_pattern_masks(scaling, cfg.static_part(),
+                                     jnp.asarray(cfg.rho, jnp.float64),
+                                     jnp.asarray(cfg.col_rho_boost, jnp.float64),
+                                     n_steps=K, n_pairs=P, col_enabled=False,
+                                     dtype=jnp.float64)
+    sigma = jnp.asarray(cfg.sigma, jnp.float64)
+
+    # mask-based pattern == value-based pattern (disabled collision rows)
+    rho_v = _mk_rho(N, K, P, h, cfg, lower, upper)
+    for name in RowVals._fields:
+        got = jnp.broadcast_to(getattr(rho_m, name),
+                               getattr(rho_v, name).shape)
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(getattr(rho_v, name)), rtol=1e-12)
+
+    D, B = assemble_blocks(rho_m, eta0, pairs.E, h=h, sigma=sigma,
+                           n_vehicles=N)
+    Lf, Ef = factorize(D, B)
+    Dc, Bc = banded.assemble_channel(rho_m, h=h, sigma=sigma)
+    Lc, Ec = factorize(Dc, Bc)
+
+    b = jnp.asarray(rng.normal(size=(K, 6 * N)))
+    x_full = solve_factorized(Lf, Ef, b)
+    x_chan = banded.solve_factorized_channel(
+        Lc, Ec, b.reshape(K, 3, 2 * N)).reshape(K, 6 * N)
+    np.testing.assert_allclose(np.asarray(x_chan), np.asarray(x_full),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_qp_channel_phase_matches_full_phase():
+    """solve_qp_state with col_enabled=False (channel path) must agree with
+    the full path on a collision-disabled QP."""
+    N, K, h = 3, 8, 0.2
+    P = N * (N - 1) // 2
+    cfg = SolverConfig(method="direct", polish=False, adaptive_rho=False,
+                       max_iter=400, check_interval=50)
+    params = make_solver_params(cfg, jnp.float64)
+    rng = np.random.default_rng(7)
+    p0 = jnp.asarray(rng.uniform(2, 18, (N, 2)))
+    pf = jnp.asarray(rng.uniform(2, 18, (N, 2)))
+    v0 = jnp.zeros((N, 2), jnp.float64)
+    lower, upper = build_bounds(p0, v0, pf, v0, n_vehicles=N, n_steps=K,
+                                h=h, limits=Limits(), n_pairs=P)
+    pairs = make_pair_index(N, dtype=jnp.float64)
+    eta0 = jnp.zeros((K, P, 2), jnp.float64)
+    x0 = StateVars(a=jnp.zeros((N, K, 2), jnp.float64),
+                   p=jnp.zeros((N, K, 2), jnp.float64),
+                   v=jnp.zeros((N, K, 2), jnp.float64))
+    r_chan = solve_qp_state(lower, upper, eta0, x0, params, pairs.E, h=h,
+                            static=cfg.static_part(), n_vehicles=N,
+                            col_enabled=False)
+    r_full = solve_qp_state(lower, upper, eta0, x0, params, pairs.E, h=h,
+                            static=cfg.static_part(), n_vehicles=N,
+                            col_enabled=True)
+    np.testing.assert_allclose(np.asarray(r_chan.x.a), np.asarray(r_full.x.a),
+                               rtol=1e-6, atol=1e-8)
