@@ -469,17 +469,18 @@ def assemble_blocks(rho: RowVals, eta, E, *, h: float, sigma,
 # Block-tridiagonal Cholesky (scan) and solve
 # ---------------------------------------------------------------------------
 
-def factorize(D, B):
-    """Block Cholesky of the SPD block-tridiagonal [D_k; B_k].
+def factorize_xla(D, B):
+    """Block Cholesky of the SPD block-tridiagonal [D_k; B_k] using XLA's
+    cholesky/triangular_solve primitives (fast on CPU via LAPACK; kept as
+    the reference implementation and the small-block / CPU path).
 
     Returns (Linv (K, n, n) INVERTED lower factors, Eb (K-1, n, n)) with
         L_0 L_0^T = D_0
         E_k = B_k L_{k-1}^{-T}
         L_k L_k^T = D_k - E_k E_k^T
 
-    The factors are stored inverted (one batched triangular solve against I
-    at factorization time) so every subsequent substitution sweep in the
-    ADMM hot path is a pure matmul — TPU trsm is far slower than MXU
+    The factors are stored inverted so every subsequent substitution sweep
+    in the ADMM hot path is a pure matmul — TPU trsm is far slower than MXU
     matmuls, and the solve runs hundreds of times per factorization.
     """
     chol = jax.lax.linalg.cholesky
@@ -500,6 +501,50 @@ def factorize(D, B):
     Linv = jax.lax.linalg.triangular_solve(
         L, jnp.broadcast_to(eye, L.shape), lower=True, left_side=True)
     return Linv, Es
+
+
+def factorize_matmul(D, B):
+    """Same factorization as :func:`factorize_xla`, but in pure matmul form.
+
+    XLA's batched cholesky/trsm on TPU run ~25-50x below the equivalent
+    matmul throughput at these block sizes (see ``ops/blocked_chol.py``).
+    Carrying the INVERTED factor through the scan turns every step into
+    matmuls only:
+
+        E_k   = B_k Linv_{k-1}^T          (matmul, replaces the trsm)
+        S_k   = D_k - E_k E_k^T           (matmul)
+        Linv_k = chol_inv(S_k)[1]          (blocked matmul-form Cholesky)
+
+    and no post-scan inversion pass is needed.
+    """
+    from ..ops.blocked_chol import chol_inv
+
+    Linv0 = chol_inv(D[0])[1]
+
+    def step(Linv_prev, DB):
+        Dk, Bk = DB
+        Ek = jnp.einsum('ij,kj->ik', Bk, Linv_prev, precision=_HP)
+        Sk = Dk - jnp.einsum('ij,kj->ik', Ek, Ek, precision=_HP)
+        Linv_k = chol_inv(Sk)[1]
+        return Linv_k, (Linv_k, Ek)
+
+    _, (Linvs, Es) = jax.lax.scan(step, Linv0, (D[1:], B))
+    Linv = jnp.concatenate([Linv0[None], Linvs], axis=0)
+    return Linv, Es
+
+
+def factorize(D, B):
+    """Block Cholesky of the SPD block-tridiagonal [D_k; B_k]; returns
+    (Linv, Eb) inverted-factor form (see :func:`factorize_xla`).
+
+    Routes by platform and block size: the matmul-form factorization wins
+    on TPU for blocks past the MXU's pay-off point; LAPACK-backed XLA
+    primitives win on CPU and for tiny (e.g. per-channel 3x3) blocks.
+    """
+    n = D.shape[-1]
+    if n >= 32 and jax.default_backend() not in ("cpu",):
+        return factorize_matmul(D, B)
+    return factorize_xla(D, B)
 
 
 def compress_factors(Linv, Eb, dtype):
