@@ -94,6 +94,22 @@ class SCPEngine:
                        pairs=self.pairs, Minv=self.Minv,
                        problem=self.problem, solver=self.solver_static)
 
+    def start_step_finalize_fns(self):
+        """Resumable pieces of the direct path (un-jitted closures), for the
+        compacting batch driver: ``start(p0,v0,pf,vf,key) -> carry``,
+        ``step(carry, p0,v0,pf,vf, key, it_cap) -> carry``,
+        ``finalize(carry, p0, v0) -> SCPResult``."""
+        if self.solver_static.method != "direct":
+            raise NotImplementedError(
+                "resumable SCP requires the direct (state-space) solver")
+        kw = dict(params=self.solver_params, pairs=self.pairs,
+                  problem=self.problem, solver=self.solver_static)
+        start = partial(_scp_start_direct, **kw)
+        step = partial(_scp_step_direct, **kw)
+        finalize = partial(_scp_finalize_direct, pairs=self.pairs,
+                           problem=self.problem)
+        return start, step, finalize
+
     # -- single scenario ---------------------------------------------------
 
     def solve(self, p0, v0, pf, vf, key=None) -> SCPResult:
@@ -350,47 +366,42 @@ def _warm_state(a, p0, v0, h):
     return StateVars(a=a, p=p_var, v=v_var)
 
 
-@partial(jax.jit, static_argnames=("problem", "solver"))
-def _scp_solve_direct(p0, v0, pf, vf, key, *, params: SolverParams,
-                      pairs: PairIndex, problem: ProblemConfig,
-                      solver: SolverStatic) -> SCPResult:
-    """SCP loop over the state-space QP solver (solvers/banded.py).
+class SCPCarry(NamedTuple):
+    """Resumable per-scenario SCP loop state.
 
-    Identical control flow and semantics to :func:`_scp_solve`; only the QP
-    subproblem formulation differs (dynamics as banded equalities instead of
-    eliminated, exact x-updates instead of PCG).
+    Everything the loop body needs between SCP iterations, so a batch can be
+    paused, compacted on the host (drop finished lanes), and resumed — the
+    PRNG fold uses the global iteration index carried here, making a resumed
+    run bit-identical to an uninterrupted one.
     """
-    from .banded import (build_bounds, collision_lower_bounds_state,
-                         solve_qp_state)
+    a: jnp.ndarray                 # (N, K, 2) current accelerations
+    y: object                      # RowVals dual warm start
+    it: jnp.ndarray                # int32 SCP iterations run so far
+    converged: jnp.ndarray         # bool: step-norm converged
+    stop: jnp.ndarray              # bool: active stopping rule fired
+    rel: jnp.ndarray               # last relative step norm
+    qp_iters: jnp.ndarray          # int32 total ADMM iterations
+    qp_ok: jnp.ndarray             # bool: every QP solve converged
+    feasible_initial: jnp.ndarray  # bool: pre-loop feasibility (scp.py:144)
+
+
+def _direct_body(p0, v0, key, lower_s, upper_s, *, params: SolverParams,
+                 pairs: PairIndex, problem: ProblemConfig,
+                 solver: SolverStatic):
+    """One SCP iteration of the direct (state-space) path as a function of
+    :class:`SCPCarry` — shared by the monolithic solve and the resumable
+    step so their semantics cannot drift."""
+    from .banded import collision_lower_bounds_state, solve_qp_state
 
     N = problem.n_vehicles
-    K = problem.n_steps
-    P = problem.n_pairs
     h = problem.time_step
     R = problem.min_distance
-    dtype = p0.dtype
-
-    lower_s, upper_s = build_bounds(p0, v0, pf, vf, n_vehicles=N, n_steps=K,
-                                    h=h, limits=problem.limits, n_pairs=P)
-    eta0 = jnp.zeros((K, P, 2), dtype=dtype)
-
-    # ---- phase 1: initial QP (collision rows disabled via -inf bounds);
-    # col_enabled=False routes the x-updates through the shared per-channel
-    # (K, 3, 3) factorization — batch-independent, so vmap computes it once
-    x0 = _warm_state(jnp.zeros((N, K, 2), dtype=dtype), p0, v0, h)
-    qp0 = solve_qp_state(lower_s, upper_s, eta0, x0, params, pairs.E, h=h,
-                         static=solver, n_vehicles=N, col_enabled=False)
-    a = qp0.x.a
-
-    pos_init, _ = rollout(a, p0, v0, h)
-    feasible_initial = check_feasible(pos_init, pairs, R)
-
     goal_feasible = problem.stop_mode == "feasible"
 
-    def body(carry):
-        a, y_prev, it, converged, stop, rel, qp_iters, qp_ok = carry
+    def body(carry: SCPCarry) -> SCPCarry:
+        a = carry.a
         prev_pos, _ = rollout(a, p0, v0, h)
-        subkey = jax.random.fold_in(key, it)
+        subkey = jax.random.fold_in(key, carry.it)
         eta, dist = linearize(prev_pos, pairs, subkey)
         col_lo = collision_lower_bounds_state(
             eta, dist, prev_pos, pairs,
@@ -398,7 +409,7 @@ def _scp_solve_direct(p0, v0, pf, vf, key, *, params: SolverParams,
         lower_it = lower_s._replace(col=col_lo)
         x_warm = _warm_state(a, p0, v0, h)
         qp = solve_qp_state(lower_it, upper_s, eta, x_warm, params, pairs.E,
-                            h=h, static=solver, n_vehicles=N, y_init=y_prev)
+                            h=h, static=solver, n_vehicles=N, y_init=carry.y)
         a_new = qp.x.a
         # Divergence guard: an infeasible linearization can blow the ADMM
         # iterates up (the dual grows unboundedly).  Any valid QP solution
@@ -419,34 +430,119 @@ def _scp_solve_direct(p0, v0, pf, vf, key, *, params: SolverParams,
             stop = check_feasible(new_pos, pairs, R)
         else:
             stop = converged
-        return (a_new, qp.y, it + 1, converged, stop, rel_step,
-                qp_iters + qp.iters, jnp.logical_and(qp_ok, qp.converged))
+        return SCPCarry(a=a_new, y=qp.y, it=carry.it + 1,
+                        converged=converged, stop=stop, rel=rel_step,
+                        qp_iters=carry.qp_iters + qp.iters,
+                        qp_ok=jnp.logical_and(carry.qp_ok, qp.converged),
+                        feasible_initial=carry.feasible_initial)
 
-    def cond(carry):
-        _, _, it, _, stop, *_ = carry
-        return jnp.logical_and(
-            it < problem.max_iterations,
-            jnp.logical_and(jnp.logical_not(stop),
-                            jnp.logical_not(feasible_initial)))
+    return body
 
-    init = (a, qp0.y, jnp.int32(0), jnp.asarray(False), jnp.asarray(False),
-            jnp.asarray(jnp.inf, dtype), qp0.iters, qp0.converged)
-    a, _y, iters, converged, stopped, rel_step, qp_iters, qp_ok = \
-        jax.lax.while_loop(cond, body, init)
 
-    positions, velocities = rollout(a, p0, v0, h)
-    feasible_final = check_feasible(positions, pairs, R)
+def _direct_cond(carry: SCPCarry, it_cap) -> jnp.ndarray:
+    return jnp.logical_and(
+        carry.it < it_cap,
+        jnp.logical_and(jnp.logical_not(carry.stop),
+                        jnp.logical_not(carry.feasible_initial)))
+
+
+@partial(jax.jit, static_argnames=("problem", "solver"))
+def _scp_start_direct(p0, v0, pf, vf, key, *, params: SolverParams,
+                      pairs: PairIndex, problem: ProblemConfig,
+                      solver: SolverStatic) -> SCPCarry:
+    """Phase 1 of the direct path: initial collision-free QP + feasibility
+    pre-check (scp.py:138-144), as a resumable carry."""
+    from .banded import build_bounds, solve_qp_state
+
+    N = problem.n_vehicles
+    K = problem.n_steps
+    P = problem.n_pairs
+    h = problem.time_step
+    R = problem.min_distance
+    dtype = p0.dtype
+
+    lower_s, upper_s = build_bounds(p0, v0, pf, vf, n_vehicles=N, n_steps=K,
+                                    h=h, limits=problem.limits, n_pairs=P)
+    eta0 = jnp.zeros((K, P, 2), dtype=dtype)
+
+    # collision rows disabled via -inf bounds; col_enabled=False routes the
+    # x-updates through the shared per-channel (K, 3, 3) factorization —
+    # batch-independent, so vmap computes it once for the whole batch
+    x0 = _warm_state(jnp.zeros((N, K, 2), dtype=dtype), p0, v0, h)
+    qp0 = solve_qp_state(lower_s, upper_s, eta0, x0, params, pairs.E, h=h,
+                         static=solver, n_vehicles=N, col_enabled=False)
+    a = qp0.x.a
+
+    pos_init, _ = rollout(a, p0, v0, h)
+    feasible_initial = check_feasible(pos_init, pairs, R)
+    return SCPCarry(a=a, y=qp0.y, it=jnp.int32(0), converged=jnp.asarray(False),
+                    stop=jnp.asarray(False),
+                    rel=jnp.asarray(jnp.inf, dtype), qp_iters=qp0.iters,
+                    qp_ok=qp0.converged, feasible_initial=feasible_initial)
+
+
+@partial(jax.jit, static_argnames=("problem", "solver"))
+def _scp_step_direct(carry: SCPCarry, p0, v0, pf, vf, key, it_cap, *,
+                     params: SolverParams, pairs: PairIndex,
+                     problem: ProblemConfig,
+                     solver: SolverStatic) -> SCPCarry:
+    """Run SCP iterations from ``carry`` until the stopping rule fires or
+    ``carry.it`` reaches ``min(it_cap, problem.max_iterations)``.
+
+    ``it_cap`` is a traced scalar: a compacting driver calls this with
+    ``it_cap = carry.it + j`` to advance j iterations per dispatch without
+    recompiling."""
+    from .banded import build_bounds
+
+    N, K, P = problem.n_vehicles, problem.n_steps, problem.n_pairs
+    lower_s, upper_s = build_bounds(p0, v0, pf, vf, n_vehicles=N, n_steps=K,
+                                    h=problem.time_step,
+                                    limits=problem.limits, n_pairs=P)
+    body = _direct_body(p0, v0, key, lower_s, upper_s, params=params,
+                        pairs=pairs, problem=problem, solver=solver)
+    cap = jnp.minimum(jnp.asarray(it_cap, jnp.int32),
+                      jnp.int32(problem.max_iterations))
+    return jax.lax.while_loop(lambda c: _direct_cond(c, cap), body, carry)
+
+
+@partial(jax.jit, static_argnames=("problem",))
+def _scp_finalize_direct(carry: SCPCarry, p0, v0, *, pairs: PairIndex,
+                         problem: ProblemConfig) -> SCPResult:
+    """Final rollout + status codes from a finished carry (scp.py:168-180)."""
+    h = problem.time_step
+    positions, velocities = rollout(carry.a, p0, v0, h)
+    feasible_final = check_feasible(positions, pairs, problem.min_distance)
     # status reflects the active stopping rule: in "feasible" mode, stopping
     # early means the trajectory went collision-free; in "reference" mode it
     # means step-norm convergence (scp.py:161)
     status = jnp.where(
-        feasible_initial, STATUS_FEASIBLE_INITIAL,
-        jnp.where(stopped, STATUS_CONVERGED, STATUS_MAX_ITERS))
-
+        carry.feasible_initial, STATUS_FEASIBLE_INITIAL,
+        jnp.where(carry.stop, STATUS_CONVERGED, STATUS_MAX_ITERS))
     return SCPResult(positions=positions, velocities=velocities,
-                     accelerations=a, iterations=iters,
-                     status=status.astype(jnp.int32), converged=converged,
-                     feasible_initial=feasible_initial,
+                     accelerations=carry.a, iterations=carry.it,
+                     status=status.astype(jnp.int32),
+                     converged=carry.converged,
+                     feasible_initial=carry.feasible_initial,
                      feasible_final=feasible_final,
-                     qp_iterations=qp_iters, qp_converged_all=qp_ok,
-                     rel_step=rel_step)
+                     qp_iterations=carry.qp_iters,
+                     qp_converged_all=carry.qp_ok, rel_step=carry.rel)
+
+
+def _scp_solve_direct(p0, v0, pf, vf, key, *, params: SolverParams,
+                      pairs: PairIndex, problem: ProblemConfig,
+                      solver: SolverStatic) -> SCPResult:
+    """SCP loop over the state-space QP solver (solvers/banded.py).
+
+    Identical control flow and semantics to :func:`_scp_solve`; only the QP
+    subproblem formulation differs (dynamics as banded equalities instead of
+    eliminated, exact x-updates instead of PCG).  Composed from the
+    resumable start/step/finalize pieces so the compacting batch driver
+    (``parallel/mesh.py``) shares every line of the iteration semantics.
+    """
+    carry = _scp_start_direct(p0, v0, pf, vf, key, params=params,
+                              pairs=pairs, problem=problem, solver=solver)
+    carry = _scp_step_direct(carry, p0, v0, pf, vf, key,
+                             jnp.int32(problem.max_iterations),
+                             params=params, pairs=pairs, problem=problem,
+                             solver=solver)
+    return _scp_finalize_direct(carry, p0, v0, pairs=pairs, problem=problem)

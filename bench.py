@@ -39,36 +39,38 @@ def main():
 
     devices = jax.devices()
     n_dev = len(devices)
-    batch = int(128 * n_dev)
+    batch = int(512 * n_dev)
 
     mesh = make_mesh(devices)
     sh = ShardedSCPSolver(problem, solver, mesh=mesh, dtype=jnp.float32)
 
-    # host-side chunking: each dispatch stays well under the runtime's
-    # execution deadline; chunks also bound the batched while_loop tail
+    # straggler compaction: the SCP loop is driven from the host in
+    # fixed-size chunk dispatches (each stays well under the runtime's
+    # execution deadline); after every iteration round the still-active
+    # lanes are packed densely, so total QP work tracks the MEAN per-lane
+    # iteration count instead of the per-chunk maximum
     chunk = 128 * n_dev
-
-    sc = generate_scenario_batch(jax.random.key(0), batch,
-                                 n_vehicles=problem.n_vehicles,
-                                 min_distance=problem.min_distance)
     v0 = jnp.zeros((batch, problem.n_vehicles, 2), jnp.float32)
-    keys = jax.random.split(jax.random.key(1), batch)
 
-    def run_chunks():
-        outs = []
-        for lo in range(0, batch, chunk):
-            hi = lo + chunk
-            outs.append(sh.solve(sc.initial[lo:hi], v0[lo:hi],
-                                 sc.final[lo:hi], v0[lo:hi], keys[lo:hi]))
-        jax.block_until_ready(outs)
-        return outs
+    def run(seed):
+        sc = generate_scenario_batch(jax.random.key(seed), batch,
+                                     n_vehicles=problem.n_vehicles,
+                                     min_distance=problem.min_distance)
+        keys = jax.random.split(jax.random.key(seed + 1), batch)
+        out = sh.solve_compacted(sc.initial, v0, sc.final, v0, keys,
+                                 chunk=chunk)
+        # the remote-tunnel runtime does not synchronize on
+        # block_until_ready; force a (small) transfer instead
+        np.asarray(out.feasible_final)
+        return out
 
-    run_chunks()                      # warmup/compile
+    run(0)                            # warmup/compile
     t0 = time.perf_counter()
-    outs = run_chunks()
+    # fresh scenarios for the timed run: identical repeated dispatches can
+    # be served from the runtime cache
+    out = run(100)
     dt = time.perf_counter() - t0
-    res = jax.tree.map(lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
-                       *outs)
+    res = jax.tree.map(np.asarray, out)
 
     status = np.asarray(res.status)
     ff = np.asarray(res.feasible_final)

@@ -67,3 +67,33 @@ def test_microbatched_matches_unchunked():
                                np.asarray(res_f.positions), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(res_m.status),
                                   np.asarray(res_f.status))
+
+
+def test_compacted_matches_plain():
+    """Straggler-compacted driver must produce the same trajectories and
+    statuses as the monolithic batched while_loop (resume is exact: the
+    PRNG fold is keyed by the carried global iteration index)."""
+    problem = ProblemConfig(n_vehicles=4, time_horizon=5.0, time_step=0.5,
+                            min_distance=0.8, max_iterations=8,
+                            stop_mode="feasible")
+    solver = SolverConfig.production(pallas=False)
+    B = 16
+    sc = generate_scenario_batch(jax.random.key(2), B,
+                                 n_vehicles=problem.n_vehicles,
+                                 min_distance=problem.min_distance,
+                                 dtype=jnp.float32)
+    v0 = jnp.zeros((B, problem.n_vehicles, 2), dtype=jnp.float32)
+    keys = jax.random.split(jax.random.key(3), B)
+
+    sh = ShardedSCPSolver(problem, solver, dtype=jnp.float32)
+    res_plain = sh.solve(sc.initial, v0, sc.final, v0, keys)
+    res_comp = sh.solve_compacted(sc.initial, v0, sc.final, v0, keys,
+                                  chunk=8)
+
+    np.testing.assert_array_equal(np.asarray(res_comp.status),
+                                  np.asarray(res_plain.status))
+    np.testing.assert_array_equal(np.asarray(res_comp.iterations),
+                                  np.asarray(res_plain.iterations))
+    np.testing.assert_allclose(np.asarray(res_comp.positions),
+                               np.asarray(res_plain.positions), atol=1e-6)
+    assert np.asarray(res_comp.feasible_final).all()
