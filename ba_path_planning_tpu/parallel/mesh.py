@@ -136,8 +136,18 @@ class ShardedSCPSolver:
         def scatter(full, part, idx):
             return jax.tree.map(lambda f, p: f.at[idx].set(p), full, part)
 
+        # tail dispatch size: late compaction rounds have few active lanes,
+        # so padding them to the full chunk wastes most of the dispatch — a
+        # second, smaller executable (one XLA program per distinct shape)
+        # bounds that waste to tail_chunk - 1 lanes
+        tail = chunk // 4
+        if tail >= self.n_devices and tail % self.n_devices == 0:
+            tail_chunk = tail
+        else:
+            tail_chunk = chunk
         self._compact = (start_c, step_c, finalize_c, gather,
-                         jax.jit(scatter, out_shardings=sh), chunk)
+                         jax.jit(scatter, out_shardings=sh), chunk,
+                         tail_chunk)
         return self._compact
 
     def solve_compacted(self, p0, v0, pf, vf, keys,
@@ -177,9 +187,9 @@ class ShardedSCPSolver:
         keys = jax.device_put(keys, self.sharding)
 
         compact = getattr(self, "_compact", None)
-        if compact is None or compact[-1] != chunk:
+        if compact is None or compact[5] != chunk:
             compact = self._build_compacted(chunk)
-        start_c, step_c, finalize_c, gather, scatter, _ = compact
+        start_c, step_c, finalize_c, gather, scatter, _, tail_chunk = compact
 
         args = (p0, v0, pf, vf, keys)
 
@@ -190,6 +200,15 @@ class ShardedSCPSolver:
                 lambda x: x[lo:lo + chunk], args)))
         carry = jax.tree.map(lambda *xs: jnp.concatenate(xs), *carries)
 
+        def dispatch(idx, size):
+            if idx.size < size:        # pad by repeating active lanes
+                idx = np_.concatenate([idx, np_.resize(idx, size - idx.size)])
+            jidx = jnp.asarray(idx)
+            cpart = gather(carry, jidx)
+            apart = gather(args, jidx)
+            cpart = step_c(cpart, *apart, cpart.it + step_iters)
+            return scatter(carry, cpart, jidx)
+
         max_iters = self.engine.problem.max_iterations
         while True:
             active = np_.flatnonzero(np_.asarray(
@@ -198,16 +217,13 @@ class ShardedSCPSolver:
                 & (np_.asarray(carry.it) < max_iters)))
             if active.size == 0:
                 break
-            for lo in range(0, active.size, chunk):
-                idx = active[lo:lo + chunk]
-                if idx.size < chunk:   # pad by repeating active lanes
-                    idx = np_.concatenate(
-                        [idx, np_.resize(idx, chunk - idx.size)])
-                jidx = jnp.asarray(idx)
-                cpart = gather(carry, jidx)
-                apart = gather(args, jidx)
-                cpart = step_c(cpart, *apart, cpart.it + step_iters)
-                carry = scatter(carry, cpart, jidx)
+            lo = 0
+            while lo < active.size:
+                rem = active.size - lo
+                size = chunk if rem > chunk - tail_chunk else tail_chunk
+                size = min(size, chunk)
+                carry = dispatch(active[lo:lo + size], size)
+                lo += size
 
         results = []
         for lo in range(0, B, chunk):
