@@ -1,0 +1,406 @@
+"""Pallas TPU kernel: the ENTIRE ADMM inner loop in one dispatch.
+
+The direct QP solver (``solvers/banded.py``) runs ``check_interval`` ADMM
+iterations between residual checks.  As XLA ops each iteration is a chain of
+small tensors (constraint applies, the banded substitution sweeps, the
+z/y proximal updates), and — critically — every x-update re-streams the
+scenario's (K, 6N, 6N) block-Cholesky factor set from HBM into VMEM
+(~5.8 MB per scenario per iteration at the N=20/K=50 benchmark config;
+~40 iterations -> ~230 MB of HBM traffic per scenario per QP solve).
+
+This kernel fuses the whole interval: one grid step per scenario DMAs the
+factor set into VMEM ONCE, then runs all ``n_iters`` ADMM iterations
+in-kernel — substitution sweeps as VPU matvecs, collision-row coupling as
+MXU matmuls against the fixed pair-incidence matrices, and the z/y updates
+as elementwise VPU work.  HBM factor traffic drops by the iteration count
+and per-iteration XLA dispatch overhead disappears.
+
+Layout: the kernel works on *plane* tensors —
+
+  * x, b:        (K, 6N)   stacked state (slot-major a|p|v, channel
+                           interleaved n*2+c; ``banded.to_stacked``)
+  * static rows: (K, 12N)  six (K, 2N) blocks in fixed order
+                           (dyn_p, dyn_v, jerk, acc, vbox, pbox); the jerk
+                           block's row K-1 is a zero-coefficient dummy so
+                           all blocks share the K axis
+  * collision:   (K, P)    row values / duals, (K, 2P) interleaved eta
+  * pair maps:   E2 (2N, 2P) = E (x) I_2 incidence, Sx (P, 2P) channel
+                 expansion, and their transposes — scenario-independent
+
+Semantics are bit-for-bit the ``admm_iter`` body in
+``solvers/banded.py:solve_qp_state`` (same operations in the same order);
+the interpret-mode equivalence test pins this.
+
+Reference context: this fuses the per-iteration work that replaces OSQP's
+ADMM loop (``/root/reference/src/path_planning/solvers/scp.py:360-365,
+441-447``) for the state-space QP formulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_F32 = jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# Plane-layout converters (plain jnp; used outside the kernel)
+# ---------------------------------------------------------------------------
+
+def _flat_kn2(leaf):
+    """(..., N, K', 2) -> (..., K', 2N) with column index n*2 + c."""
+    moved = jnp.swapaxes(leaf, -3, -2)
+    return moved.reshape(moved.shape[:-2] + (moved.shape[-2] * 2,))
+
+
+def _unflat_kn2(plane, n_vehicles):
+    """(..., K', 2N) -> (..., N, K', 2)."""
+    K = plane.shape[-2]
+    arr = plane.reshape(plane.shape[:-1] + (n_vehicles, 2))
+    return jnp.swapaxes(arr, -3, -2)
+
+
+_SLOTS = ("dyn_p", "dyn_v", "jerk", "acc", "vbox", "pbox")
+
+
+def rowvals_to_planes(rv):
+    """RowVals -> (s_plane (..., K, 12N), col (..., K, P)).
+
+    The jerk block (K-1 rows) is padded with one zero dummy row at k = K-1.
+    """
+    planes = []
+    for name in _SLOTS:
+        leaf = getattr(rv, name)
+        p = _flat_kn2(leaf)
+        if name == "jerk":
+            pad = jnp.zeros(p.shape[:-2] + (1, p.shape[-1]), p.dtype)
+            p = jnp.concatenate([p, pad], axis=-2)
+        planes.append(p)
+    return jnp.concatenate(planes, axis=-1), rv.col
+
+
+def planes_to_rowvals(s_plane, col, n_vehicles, make):
+    """Inverse of :func:`rowvals_to_planes`; ``make`` is the RowVals ctor."""
+    n2 = 2 * n_vehicles
+    parts = {}
+    for idx, name in enumerate(_SLOTS):
+        p = s_plane[..., idx * n2:(idx + 1) * n2]
+        if name == "jerk":
+            p = p[..., :-1, :]
+        parts[name] = _unflat_kn2(p, n_vehicles)
+    return make(col=col, **parts)
+
+
+def bound_planes(rv, inf_fill):
+    """Bounds RowVals -> plane with the jerk dummy row set to ±inf."""
+    s, col = rowvals_to_planes(rv)
+    K = s.shape[-2]
+    n2 = s.shape[-1] // 6
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+    dummy = jnp.full_like(s[..., :n2], inf_fill)
+    block = jnp.where(row == K - 1, dummy, s[..., 2 * n2:3 * n2])
+    return jnp.concatenate(
+        [s[..., :2 * n2], block, s[..., 3 * n2:]], axis=-1), col
+
+
+def rho_planes(rho_b, loose):
+    """rho RowVals (broadcastable (K', 1) leaves + (K, P) col) ->
+    (rho_sk (K, 6) per-(k, slot) static rho, rho_c (K, P)).
+
+    rho patterns from ``rho_pattern_masks`` are batch-independent, so these
+    planes are shared by every scenario in a batch.
+    """
+    planes = []
+    for name in _SLOTS:
+        leaf = getattr(rho_b, name)
+        if leaf.ndim != 2 or leaf.shape[-1] != 1:
+            raise ValueError(
+                "fused ADMM kernel needs broadcastable (K', 1) rho leaves "
+                "(use rho_pattern_masks)")
+        if name == "jerk":
+            leaf = jnp.concatenate(
+                [leaf, jnp.full((1, 1), loose, leaf.dtype)], axis=0)
+        planes.append(leaf)
+    rho_s_k = jnp.concatenate(planes, axis=-1)           # (K, 6)
+    return rho_s_k, rho_b.col
+
+
+def pair_matrices(n_vehicles: int, dtype=_F32):
+    """Static pair maps for N vehicles: (E2 (2N, 2P), E2T, Sx (P, 2P), SxT).
+
+    E2 = channel-interleaved signed incidence (same pair order as
+    ``ops.collisions.make_pair_index``): dpf (K, 2P) = p_plane (K, 2N) @ E2.
+    Sx expands a per-pair scalar onto both channels; SxT sums them back.
+    Built from the static vehicle count so it stays concrete under jit.
+    """
+    N = int(n_vehicles)
+    ii, jj = np.triu_indices(N, k=1)
+    P = len(ii)
+    E = np.zeros((N, P))
+    E[ii, np.arange(P)] = 1.0
+    E[jj, np.arange(P)] = -1.0
+    E2 = np.zeros((2 * N, 2 * P), dtype=np.float32)
+    for c in range(2):
+        E2[c::2, c::2] = E
+    Sx = np.zeros((P, 2 * P), dtype=np.float32)
+    Sx[np.arange(P), 2 * np.arange(P)] = 1.0
+    Sx[np.arange(P), 2 * np.arange(P) + 1] = 1.0
+    return (jnp.asarray(E2, dtype), jnp.asarray(E2.T, dtype),
+            jnp.asarray(Sx, dtype), jnp.asarray(Sx.T, dtype))
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+def _admm_kernel(
+        # scalar params (SMEM)
+        fpar_ref, ipar_ref,
+        # per-scenario tensors (VMEM blocks, resident for the whole interval)
+        linv_ref, eb_ref,          # (1, K, n, n) / (1, K-1, n, n)
+        eta2_ref,                  # (1, K, 2P)
+        ls_ref, us_ref,            # (1, K, 12N)
+        lc_ref,                    # (1, K, P)
+        x0_ref, zs0_ref, zc0_ref, ys0_ref, yc0_ref,
+        # shared tensors
+        rsk_ref,                   # (K, 6) per-(k, slot) static rho
+        rc_ref,                    # (K, P) collision rho
+        e2_ref, e2t_ref, sx_ref, sxt_ref,
+        # outputs
+        x_ref, zs_ref, zc_ref, ys_ref, yc_ref,
+        # scratch
+        ysw, xt, bsc):
+    K, n = x0_ref.shape[1], x0_ref.shape[2]
+    n2 = n // 3
+    h = fpar_ref[0]
+    sigma = fpar_ref[1]
+    alpha = fpar_ref[2]
+    lam = fpar_ref[3]
+    n_iters = ipar_ref[0]
+
+    # init carries in the output refs
+    x_ref[0] = x0_ref[0]
+    zs_ref[0] = zs0_ref[0]
+    zc_ref[0] = zc0_ref[0]
+    ys_ref[0] = ys0_ref[0]
+    yc_ref[0] = yc0_ref[0]
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+    not_last = (row < K - 1).astype(x0_ref.dtype)        # jerk dummy mask
+
+    # static rho as (K, 2N) blocks (broadcast per-slot scalars over channels)
+    rho_blk = [jnp.broadcast_to(rsk_ref[:, s:s + 1], (K, n2))
+               for s in range(6)]
+    rho_s = jnp.concatenate(rho_blk, axis=-1)            # (K, 12N)
+    rho_c = rc_ref[:]
+    eta2 = eta2_ref[0]
+    l_s = ls_ref[0]
+    u_s = us_ref[0]
+    l_c = lc_ref[0]
+
+    # K-shifts as roll+mask: Mosaic rejects dim-0 concatenates of
+    # offset-mismatched slices, so never build shifted tensors from slices
+    def shift_down(M):
+        r = pltpu.roll(M, 1, 0)
+        return jnp.where(row > 0, r, jnp.zeros_like(r))
+
+    def shift_up(M):
+        r = pltpu.roll(M, K - 1, 0)
+        return jnp.where(row < K - 1, r, jnp.zeros_like(r))
+
+    def mv(M, t):
+        return jnp.sum(M * t[None, :], axis=1)
+
+    def mv_t(M, t):
+        return jnp.sum(M * t[:, None], axis=0)
+
+    def dot(a, b):
+        # HIGHEST: full-f32 MXU passes — the pair-coupling products feed a
+        # 10s-of-iterations fixed point; bf16 default drifts ~1e-2 vs XLA
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    def body(it, _):
+        x = x_ref[0]
+        zs = zs_ref[0]
+        zc = zc_ref[0]
+        ys = ys_ref[0]
+        yc = yc_ref[0]
+
+        # ---- b = A^T (rho z - y) + sigma x  (adjoint in plane layout)
+        rzs = rho_s * zs - ys
+        rzc = rho_c * zc - yc
+        dyn_p = rzs[:, 0 * n2:1 * n2]
+        dyn_v = rzs[:, 1 * n2:2 * n2]
+        jrk = rzs[:, 2 * n2:3 * n2] * not_last
+        acc = rzs[:, 3 * n2:4 * n2]
+        vbx = rzs[:, 4 * n2:5 * n2]
+        pbx = rzs[:, 5 * n2:6 * n2]
+        a_adj = (-0.5 * h * h) * dyn_p - h * dyn_v \
+            + (shift_down(jrk) - jrk) / h + acc
+        dp_next = shift_up(dyn_p)
+        dv_next = shift_up(dyn_v)
+        w2 = dot(rzc, sx_ref[:]) * eta2                  # (K, 2P)
+        col_adj = dot(shift_up(w2), e2t_ref[:])          # (K, 2N)
+        p_adj = dyn_p - dp_next + pbx + col_adj
+        v_adj = -h * dp_next + dyn_v - dv_next + vbx
+        bsc[:] = jnp.concatenate([a_adj, p_adj, v_adj], axis=-1) + sigma * x
+
+        # ---- substitution sweeps with resident factors: M xt = b
+        ysw[0, :] = mv(linv_ref[0, 0], bsc[0, :])
+
+        def fwd(k, _):
+            t = bsc[k, :] - mv(eb_ref[0, k - 1], ysw[k - 1, :])
+            ysw[k, :] = mv(linv_ref[0, k], t)
+            return 0
+
+        jax.lax.fori_loop(1, K, fwd, 0)
+        xt[K - 1, :] = mv_t(linv_ref[0, K - 1], ysw[K - 1, :])
+
+        def bwd(j, _):
+            k = K - 2 - j
+            t = ysw[k, :] - mv_t(eb_ref[0, k], xt[k + 1, :])
+            xt[k, :] = mv_t(linv_ref[0, k], t)
+            return 0
+
+        jax.lax.fori_loop(0, K - 1, bwd, 0)
+        xtv = xt[:]
+
+        # ---- relaxation + row values of the relaxed iterate
+        x_ref[0] = alpha * xtv + (1.0 - alpha) * x
+        at = xtv[:, 0 * n2:1 * n2]
+        pt = xtv[:, 1 * n2:2 * n2]
+        vt = xtv[:, 2 * n2:3 * n2]
+        ax_dyn_p = pt - shift_down(pt) - h * shift_down(vt) \
+            - (0.5 * h * h) * at
+        ax_dyn_v = vt - shift_down(vt) - h * at
+        ax_jerk = (shift_up(at) - at) / h * not_last
+        axs = jnp.concatenate(
+            [ax_dyn_p, ax_dyn_v, ax_jerk, at, vt, pt], axis=-1)
+        dpf = dot(pt, e2_ref[:])                         # (K, 2P)
+        colv = dot(eta2 * shift_down(dpf), sxt_ref[:])   # (K, P)
+
+        # ---- z/y proximal updates (identical to banded.admm_iter)
+        zrel_s = alpha * axs + (1.0 - alpha) * zs
+        zrel_c = alpha * colv + (1.0 - alpha) * zc
+        zns = jnp.clip(zrel_s + ys / rho_s, l_s, u_s)
+        w = zrel_c + yc / rho_c
+        znc = jnp.where(w >= l_c, w,
+                        jnp.minimum(w + lam / rho_c, l_c))
+        zs_ref[0] = zns
+        zc_ref[0] = znc
+        ys_ref[0] = ys + rho_s * (zrel_s - zns)
+        yc_ref[0] = yc + rho_c * (zrel_c - znc)
+        return 0
+
+    jax.lax.fori_loop(0, n_iters, body, 0)
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper (natively batched; custom_vmap for per-scenario use)
+# ---------------------------------------------------------------------------
+
+def _fused_batched(fpar, ipar, Linv, Eb, eta2, l_s, u_s, l_c,
+                   x0, zs0, zc0, ys0, yc0, rho_sk, rho_c,
+                   E2, E2T, Sx, SxT, *, interpret=False):
+    B, K, n, _ = Linv.shape
+    P = l_c.shape[-1]
+    n12 = l_s.shape[-1]
+    dtype = x0.dtype
+
+    def b_spec(*shape):
+        nd = len(shape)
+        return pl.BlockSpec((1,) + shape, lambda i, nd=nd: (i,) + (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    def shared_spec(*shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, nd=nd: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _admm_kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # fpar (4,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # ipar (1,)
+            b_spec(K, n, n),                             # Linv
+            b_spec(K - 1, n, n),                         # Eb
+            b_spec(K, 2 * P),                            # eta2
+            b_spec(K, n12), b_spec(K, n12),              # l_s, u_s
+            b_spec(K, P),                                # l_c
+            b_spec(K, n),                                # x0
+            b_spec(K, n12), b_spec(K, P),                # zs0, zc0
+            b_spec(K, n12), b_spec(K, P),                # ys0, yc0
+            shared_spec(K, 6),                           # rho_sk
+            shared_spec(K, P),                           # rho_c
+            shared_spec(n // 3, 2 * P),                  # E2  (2N, 2P)
+            shared_spec(2 * P, n // 3),                  # E2T
+            shared_spec(P, 2 * P),                       # Sx
+            shared_spec(2 * P, P),                       # SxT
+        ],
+        out_specs=(b_spec(K, n), b_spec(K, n12), b_spec(K, P),
+                   b_spec(K, n12), b_spec(K, P)),
+        out_shape=(jax.ShapeDtypeStruct((B, K, n), dtype),
+                   jax.ShapeDtypeStruct((B, K, n12), dtype),
+                   jax.ShapeDtypeStruct((B, K, P), dtype),
+                   jax.ShapeDtypeStruct((B, K, n12), dtype),
+                   jax.ShapeDtypeStruct((B, K, P), dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((K, n), dtype),                   # fwd-sweep y
+            pltpu.VMEM((K, n), dtype),                   # x tilde
+            pltpu.VMEM((K, n), dtype),                   # b
+        ],
+        interpret=interpret,
+    )(fpar, ipar, Linv, Eb, eta2, l_s, u_s, l_c,
+      x0, zs0, zc0, ys0, yc0, rho_sk, rho_c, E2, E2T, Sx, SxT)
+    return out
+
+
+def _auto_interpret() -> bool:
+    return jax.default_backend() in ("cpu",)
+
+
+@functools.partial(jax.custom_batching.custom_vmap)
+def admm_interval_fused(fpar, ipar, Linv, Eb, eta2, l_s, u_s, l_c,
+                        x0, zs0, zc0, ys0, yc0, rho_sk, rho_c,
+                        E2, E2T, Sx, SxT):
+    """Run ``ipar[0]`` ADMM iterations for ONE scenario; returns
+    (x, z_s, z_c, y_s, y_c) planes.  Under ``vmap`` a custom batching rule
+    dispatches the natively batched grid (the HBM factor refs cannot be
+    auto-batched)."""
+    out = _fused_batched(fpar, ipar, Linv[None], Eb[None], eta2[None],
+                         l_s[None], u_s[None], l_c[None], x0[None],
+                         zs0[None], zc0[None], ys0[None], yc0[None],
+                         rho_sk, rho_c, E2, E2T, Sx, SxT,
+                         interpret=_auto_interpret())
+    return jax.tree.map(lambda t: t[0], out)
+
+
+@admm_interval_fused.def_vmap
+def _fused_vmap(axis_size, in_batched, fpar, ipar, Linv, Eb, eta2,
+                l_s, u_s, l_c, x0, zs0, zc0, ys0, yc0,
+                rho_sk, rho_c, E2, E2T, Sx, SxT):
+    (fb, ib, lb, ebb, etab, lsb, usb, lcb, x0b, zs0b, zc0b, ys0b, yc0b,
+     rskb, rcb, e2b, e2tb, sxb, sxtb) = in_batched
+    if any((fb, ib, rskb, rcb, e2b, e2tb, sxb, sxtb)):
+        raise NotImplementedError(
+            "solver params and shared pair/rho tensors must not be batched")
+
+    def bcast(arr, batched):
+        return arr if batched else jnp.broadcast_to(
+            arr[None], (axis_size,) + arr.shape)
+
+    out = _fused_batched(
+        fpar, ipar, bcast(Linv, lb), bcast(Eb, ebb), bcast(eta2, etab),
+        bcast(l_s, lsb), bcast(u_s, usb), bcast(l_c, lcb), bcast(x0, x0b),
+        bcast(zs0, zs0b), bcast(zc0, zc0b), bcast(ys0, ys0b),
+        bcast(yc0, yc0b), rho_sk, rho_c, E2, E2T, Sx, SxT,
+        interpret=_auto_interpret())
+    return out, (True,) * 5

@@ -707,6 +707,12 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
     factor_bytes = 2 * K * (6 * N) ** 2 * jnp.dtype(dtype).itemsize
     pallas_resident = static.pallas and 2 * factor_bytes <= 12 * 1024 * 1024
     use_pallas = static.pallas
+    # whole-interval fused kernel: factors resident across ALL iterations of
+    # a check interval (ops/pallas/admm_fused.py); requires the standard
+    # bound layout (row 0 vacuous, rows >= 1 finite) so the mask-based rho
+    # pattern IS the effective rho (no per-scenario isinf fixup)
+    use_fused = (static.fused and not use_channel
+                 and factor_bytes <= 12 * 1024 * 1024)
 
     Ax0 = apply_A(x_init, eta, E, h)
     z0 = _tmap(jnp.clip, Ax0, lower, upper)
@@ -716,10 +722,12 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
         rho_b = rho_pattern_masks(scaling, static, rho_scalar,
                                   params.col_rho_boost, n_steps=K, n_pairs=P,
                                   col_enabled=col_enabled, dtype=dtype)
-        if col_enabled:
+        if col_enabled and not use_fused:
             # disabled rows (lower = -inf beyond row 0) -> loose rho; the
             # structural pattern already covers build_bounds-generated bounds,
-            # this keeps exact semantics for hand-built ones
+            # this keeps exact semantics for hand-built ones.  (The fused
+            # kernel keeps the batch-independent mask pattern so the rho
+            # planes stay shared across the scenario batch.)
             col_off = jnp.isinf(lower.col)
             rho_b = rho_b._replace(
                 col=jnp.where(col_off, _LOOSE_RHO, rho_b.col))
@@ -786,15 +794,44 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
 
     fact0 = make_solver(params.rho)
 
+    if use_fused:
+        from ..ops.pallas.admm_fused import (admm_interval_fused,
+                                             bound_planes, pair_matrices,
+                                             planes_to_rowvals, rho_planes,
+                                             rowvals_to_planes)
+        E2, E2T, Sx, SxT = pair_matrices(N, dtype)
+        eta2 = eta.reshape(K, 2 * P)
+        ls_p, _ = bound_planes(lower, -jnp.inf)
+        us_p, _ = bound_planes(upper, jnp.inf)
+        fpar = jnp.stack([jnp.asarray(h, dtype), jnp.asarray(sigma, dtype),
+                          jnp.asarray(alpha, dtype),
+                          params.col_penalty.astype(dtype)])
+        ipar = jnp.reshape(params.check_interval, (1,))
+
+        def run_interval(x, z, y, rho_b, L, Eb):
+            zs, zc = rowvals_to_planes(z)
+            ys, yc = rowvals_to_planes(y)
+            rho_sk, rho_c = rho_planes(rho_b, _LOOSE_RHO)
+            xp, zsp, zcp, ysp, ycp = admm_interval_fused(
+                fpar, ipar, L, Eb, eta2, ls_p, us_p, lower.col,
+                to_stacked(x), zs, zc, ys, yc, rho_sk, rho_c,
+                E2, E2T, Sx, SxT)
+            return (from_stacked(xp.astype(dtype), N),
+                    planes_to_rowvals(zsp, zcp, N, RowVals),
+                    planes_to_rowvals(ysp, ycp, N, RowVals))
+
     def outer_body(carry):
         x, z, y, rho, fact, it, prim, dual, done = carry
         rho_b, L, Eb = fact
 
-        def inner(i, xzys):
-            return admm_iter(*xzys, rho_b, L, Eb)
+        if use_fused:
+            x, z, y = run_interval(x, z, y, rho_b, L, Eb)
+        else:
+            def inner(i, xzys):
+                return admm_iter(*xzys, rho_b, L, Eb)
 
-        x, z, y = jax.lax.fori_loop(0, params.check_interval, inner,
-                                    (x, z, y))
+            x, z, y = jax.lax.fori_loop(0, params.check_interval, inner,
+                                        (x, z, y))
         prim, dual, done, pr, dr = residuals(x, z, y)
 
         if static.adaptive_rho:

@@ -85,6 +85,7 @@ class SolverStatic:
     method: str = "cg"               # "cg" (accel-space PCG) | "direct"
     #                                  (state-space block-tridiag Cholesky)
     pallas: bool = False             # fused Pallas kernel for banded solves
+    fused: bool = False              # whole-interval fused ADMM kernel
     factor_dtype: str = "f32"        # "f32" | "bf16" factor storage (direct)
 
 
@@ -115,6 +116,7 @@ class SolverConfig:
     operator_impl: str = "scan"      # "scan" (VPU prefix sums) | "matmul" (MXU)
     method: str = "cg"               # QP solver: "cg" | "direct" (see SolverStatic)
     pallas: bool = False             # fused Pallas kernel for banded solves
+    fused: bool = False              # whole-interval fused ADMM kernel
     factor_dtype: str = "f32"        # "f32" | "bf16" factor storage (direct)
     # Exact-penalty weight on collision rows: inf = hard constraints
     # (reference semantics); finite = soft rows that keep infeasible SCP
@@ -137,6 +139,7 @@ class SolverConfig:
                             polish=self.polish,
                             operator_impl=self.operator_impl,
                             method=self.method, pallas=self.pallas,
+                            fused=self.fused,
                             factor_dtype=self.factor_dtype)
 
     @classmethod
