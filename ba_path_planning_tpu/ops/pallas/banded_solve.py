@@ -141,133 +141,3 @@ def _solve_kernel_nb(linv_ref, eb_ref, b_ref, x_ref, y_scr):
         return 0
 
     jax.lax.fori_loop(0, K - 1, bwd, 0)
-
-
-# ---------------------------------------------------------------------------
-# Streaming variant: factors stay in HBM, double-buffered per-k DMA
-# ---------------------------------------------------------------------------
-#
-# The resident kernel above holds a scenario's whole factor set in VMEM,
-# which caps the block size at roughly 6N <= ~150 (K = 50).  This variant
-# keeps Linv/E in HBM and streams one (n, n) block per recurrence step with
-# double buffering, so it works for any N at the cost of touching HBM twice
-# per solve (forward + backward sweeps).
-
-def _solve_streaming_batched(Linv, Eb, b):
-    """Batched streaming solve: grid over scenarios, factors in HBM."""
-    B, K, n, _ = Linv.shape
-    return pl.pallas_call(
-        _stream_kernel_nb,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, K, n), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, K, n), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, K, n), b.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, n, n), b.dtype),
-            pltpu.VMEM((2, n, n), b.dtype),
-            pltpu.VMEM((K, n), b.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(Linv, Eb, b)
-
-
-@jax.custom_batching.custom_vmap
-def solve_factorized_streaming(Linv, Eb, b):
-    """Single-scenario streaming banded solve (any block size).
-
-    Linv (K, n, n), Eb (K-1, n, n), b (K, n) -> x (K, n).  Under ``vmap``
-    a custom batching rule routes to the natively-batched grid (unblocked
-    HBM refs cannot be auto-batched by the generic pallas rule).
-    """
-    return _solve_streaming_batched(Linv[None], Eb[None], b[None])[0]
-
-
-@solve_factorized_streaming.def_vmap
-def _streaming_vmap(axis_size, in_batched, Linv, Eb, b):
-    assert all(in_batched), "all operands must be batched together"
-    return _solve_streaming_batched(Linv, Eb, b), True
-
-
-def _stream_kernel_nb(linv_hbm, eb_hbm, b_ref, x_ref, lbuf, ebuf, y_scr,
-                      sems):
-    """Streaming kernel, one scenario per grid step.
-
-    linv_hbm (B, K, n, n) / eb_hbm (B, K-1, n, n): full arrays in HBM,
-    indexed by the scenario grid position; b_ref/x_ref: (1, K, n) VMEM blocks.
-    """
-    K = b_ref.shape[1]
-    i = pl.program_id(0)
-
-    def mv(M, t):
-        return jnp.sum(M * t[None, :], axis=1)
-
-    def mv_t(M, t):
-        return jnp.sum(M * t[:, None], axis=0)
-
-    def l_dma(slot, k):
-        return pltpu.make_async_copy(linv_hbm.at[i, k], lbuf.at[slot],
-                                     sems.at[0, slot])
-
-    def e_dma(slot, k):
-        return pltpu.make_async_copy(eb_hbm.at[i, k], ebuf.at[slot],
-                                     sems.at[1, slot])
-
-    l_dma(0, 0).start()
-
-    def fwd(k, _):
-        slot = k % 2
-        nxt = (k + 1) % 2
-
-        @pl.when(k + 1 < K)
-        def _():
-            l_dma(nxt, k + 1).start()
-            e_dma(nxt, k).start()
-
-        l_dma(slot, k).wait()
-
-        @pl.when(k == 0)
-        def _():
-            y_scr[0, :] = mv(lbuf[slot], b_ref[0, 0, :])
-
-        @pl.when(k > 0)
-        def _():
-            e_dma(slot, k - 1).wait()
-            t = b_ref[0, k, :] - mv(ebuf[slot], y_scr[k - 1, :])
-            y_scr[k, :] = mv(lbuf[slot], t)
-        return 0
-
-    jax.lax.fori_loop(0, K, fwd, 0)
-
-    l_dma((K - 1) % 2, K - 1).start()
-
-    def bwd(i, _):
-        k = K - 1 - i
-        slot = k % 2
-        nxt = (k - 1) % 2
-
-        @pl.when(k > 0)
-        def _():
-            l_dma(nxt, k - 1).start()
-            e_dma(nxt, k - 1).start()
-
-        l_dma(slot, k).wait()
-
-        @pl.when(k == K - 1)
-        def _():
-            x_ref[0, K - 1, :] = mv_t(lbuf[slot], y_scr[K - 1, :])
-
-        @pl.when(k < K - 1)
-        def _():
-            e_dma(slot, k).wait()
-            t = y_scr[k, :] - mv_t(ebuf[slot], x_ref[0, k + 1, :])
-            x_ref[0, k, :] = mv_t(lbuf[slot], t)
-        return 0
-
-    jax.lax.fori_loop(0, K, bwd, 0)

@@ -1,0 +1,224 @@
+"""Pallas TPU kernel: scenario-GROUPED streaming banded substitution sweeps.
+
+The per-scenario resident kernel (``banded_solve.solve_factorized_pallas``)
+runs each scenario's 2K-step substitution recurrence serially on the VPU;
+with the whole batch serialized over grid steps, per-step instruction/reduce
+latency (~170 ns per (6N)^2 matvec at N=20) dominates — the solve sits ~5x
+above the HBM-bandwidth floor.
+
+This kernel processes G scenarios per grid step: every serial recurrence
+step does a G-way batched matvec (one (G, np, np) * (G, 1, np) VPU
+multiply-reduce), amortizing the per-step issue cost G-fold, while each
+scenario's per-step factor block streams from HBM with double-buffered DMA
+(G copies in flight per buffer slot).  The recurrence becomes DMA-bound,
+i.e. runs near the HBM floor.
+
+Alignment: Mosaic requires DMA slices of HBM-tiled memrefs to be
+128-aligned on the lane (minor) dimension, so factors must be zero-padded
+to (np, np) with np = ceil(n/128)*128 BEFORE the call (see
+:func:`pad_factors`) — done once per factorization, not per iteration.
+The padded rows/cols are zero, so sweep values in the pad lanes stay 0.
+This padding is also what the plain streaming kernel in ``banded_solve.py``
+was missing — it never compiled on hardware for n % 128 != 0.
+
+Reference context: accelerates the x-update linear solve replacing OSQP's
+factorization cache (``/root/reference/src/path_planning/solvers/scp.py:
+441-447``) for the batched state-space QP.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def pad_factors(Linv, Eb):
+    """Zero-pad factor blocks (..., n, n) to the TPU lane width
+    (..., np, np), np = ceil(n/128)*128.  Call once per factorization."""
+    n = Linv.shape[-1]
+    np_ = _round_up(n, 128)
+    if np_ == n:
+        return Linv, Eb
+    pad = [(0, 0)] * (Linv.ndim - 2) + [(0, np_ - n), (0, np_ - n)]
+    return jnp.pad(Linv, pad), jnp.pad(Eb, pad)
+
+
+def _group_kernel(linv_hbm, eb_hbm, b_ref, x_ref, lbuf, ebuf, y_scr,
+                  sems):
+    """One scenario-group per grid step.
+
+    linv_hbm (B, K, np, np) / eb_hbm (B, K-1, np, np): HBM, streamed one
+    (np, np) step-block per scenario with double buffering (G copies in
+    flight).  b_ref / x_ref: (G, K, np) VMEM blocks.  y_scr: (K, G, np).
+    """
+    G, K = b_ref.shape[0], b_ref.shape[1]
+    i = pl.program_id(0)
+
+    def mv(M, t):
+        # y_g = M_g t_g: (G, np, np) x (G, np) -> (G, np) on the VPU
+        return jnp.sum(M * t[:, None, :], axis=2)
+
+    def mv_t(M, t):
+        return jnp.sum(M * t[:, :, None], axis=1)
+
+    def l_dma(slot, k):
+        return [pltpu.make_async_copy(linv_hbm.at[i * G + g, k],
+                                      lbuf.at[slot, g], sems.at[0, slot, g])
+                for g in range(G)]
+
+    def e_dma(slot, k):
+        return [pltpu.make_async_copy(eb_hbm.at[i * G + g, k],
+                                      ebuf.at[slot, g], sems.at[1, slot, g])
+                for g in range(G)]
+
+    def start(dmas):
+        for d in dmas:
+            d.start()
+
+    def wait(dmas):
+        for d in dmas:
+            d.wait()
+
+    # forward: y_k = Linv_k (b_k - E_k y_{k-1})
+    start(l_dma(0, 0))
+
+    def fwd(k, _):
+        slot = k % 2
+        nxt = (k + 1) % 2
+
+        @pl.when(k + 1 < K)
+        def _():
+            start(l_dma(nxt, k + 1))
+            start(e_dma(nxt, k))
+
+        wait(l_dma(slot, k))
+
+        @pl.when(k == 0)
+        def _():
+            y_scr[0] = mv(lbuf[slot], b_ref[:, 0])
+
+        @pl.when(k > 0)
+        def _():
+            wait(e_dma(slot, k - 1))
+            t = b_ref[:, k] - mv(ebuf[slot], y_scr[k - 1])
+            y_scr[k] = mv(lbuf[slot], t)
+        return 0
+
+    jax.lax.fori_loop(0, K, fwd, 0)
+
+    # backward: x_k = Linv_k^T (y_k - E_{k+1}^T x_{k+1})
+    start(l_dma((K - 1) % 2, K - 1))
+
+    def bwd(j, _):
+        k = K - 1 - j
+        slot = k % 2
+        nxt = (k - 1) % 2
+
+        @pl.when(k > 0)
+        def _():
+            start(l_dma(nxt, k - 1))
+            start(e_dma(nxt, k - 1))
+
+        wait(l_dma(slot, k))
+
+        @pl.when(k == K - 1)
+        def _():
+            x_ref[:, K - 1] = mv_t(lbuf[slot], y_scr[K - 1])
+
+        @pl.when(k < K - 1)
+        def _():
+            wait(e_dma(slot, k))
+            t = y_scr[k] - mv_t(ebuf[slot], x_ref[:, k + 1])
+            x_ref[:, k] = mv_t(lbuf[slot], t)
+        return 0
+
+    jax.lax.fori_loop(0, K, bwd, 0)
+
+
+def _auto_interpret() -> bool:
+    return jax.default_backend() in ("cpu",)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+def solve_factorized_grouped(Lp, Ep, b, *, group: int = 8,
+                             interpret: bool | None = None):
+    """Batched banded solve, G scenarios per serial recurrence step.
+
+    Lp (B, K, np, np), Ep (B, K-1, np, np): lane-PADDED factors (see
+    :func:`pad_factors`); b (B, K, n) -> x (B, K, n), n <= np.
+    Equivalent to ``jax.vmap(banded.solve_factorized)`` on the unpadded
+    factors.  B is padded up to a multiple of ``group`` internally.
+    """
+    B, K, np_, _ = Lp.shape
+    n = b.shape[-1]
+    if interpret is None:
+        interpret = _auto_interpret()
+    G = min(group, B)
+    Bp = _round_up(B, G)
+    fdt = Lp.dtype
+
+    if Bp > B:
+        # identity pad systems keep the sweeps well-defined
+        eye = jnp.broadcast_to(jnp.eye(np_, dtype=fdt),
+                               (Bp - B, K, np_, np_))
+        Lp = jnp.concatenate([Lp, eye], axis=0)
+        Ep = jnp.concatenate(
+            [Ep, jnp.zeros((Bp - B, K - 1, np_, np_), fdt)], axis=0)
+        b = jnp.concatenate([b, jnp.zeros((Bp - B, K, n), b.dtype)], axis=0)
+    bp = jnp.pad(b, [(0, 0), (0, 0), (0, np_ - n)]) if np_ > n else b
+
+    NG = Bp // G
+    xg = pl.pallas_call(
+        _group_kernel,
+        grid=(NG,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((G, K, np_), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, K, np_), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, K, np_), b.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, G, np_, np_), fdt),
+            pltpu.VMEM((2, G, np_, np_), fdt),
+            pltpu.VMEM((K, G, np_), b.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, G)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=bool(interpret),
+    )(Lp, Ep, bp)
+    return xg[:B, :, :n]
+
+
+# ---------------------------------------------------------------------------
+# Per-scenario wrapper (custom vmap: the SCP engine is written per-scenario)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def grouped_solver(group: int):
+    """Per-scenario solve on PADDED factors whose vmap rule dispatches the
+    G-way grouped kernel.  Single-scenario calls fall back to the XLA scan
+    sweeps on the unpadded blocks."""
+
+    @jax.custom_batching.custom_vmap
+    def solve(Lp, Ep, b):
+        from ...solvers.banded import solve_factorized
+        n = b.shape[-1]
+        return solve_factorized(Lp[..., :n, :n], Ep[..., :n, :n], b)
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, Lp, Ep, b):
+        assert all(in_batched), "factors and rhs must be batched together"
+        return solve_factorized_grouped(Lp, Ep, b, group=group), True
+
+    return solve

@@ -702,16 +702,29 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
     alpha = params.alpha
     scaling = row_scaling_state(K, h, dtype=dtype)
     use_channel = not col_enabled
-    # the resident kernel holds a scenario's full factor set in VMEM; when
-    # (double-buffered) factors would not fit, use the streaming-DMA kernel
+    # Pallas solve routing.  group > 0: scenario-grouped streaming kernel
+    # with that group size; group == 0 (default) + pallas: grouped kernel
+    # with a VMEM-budgeted auto group size (measured fastest at N=20:
+    # 362-369 solves/s vs 310 for the resident kernel); group == -1 +
+    # pallas: legacy per-scenario VMEM-resident kernel (A/B path).
     factor_bytes = 2 * K * (6 * N) ** 2 * jnp.dtype(dtype).itemsize
-    pallas_resident = static.pallas and 2 * factor_bytes <= 12 * 1024 * 1024
-    use_pallas = static.pallas
+    isz = jnp.dtype(dtype).itemsize
+    np_ = -(-6 * N // 128) * 128
+    per_g = 4 * np_ * np_ * isz + 5 * K * np_ * isz
+    auto_g = max(1, min(32, (12 * 1024 * 1024) // per_g))
+    if static.group > 0:
+        group_n = static.group
+    elif static.group == 0 and static.pallas:
+        group_n = auto_g
+    else:
+        group_n = 0
+    pallas_resident = (static.pallas and group_n == 0
+                       and 2 * factor_bytes <= 12 * 1024 * 1024)
     # whole-interval fused kernel: factors resident across ALL iterations of
     # a check interval (ops/pallas/admm_fused.py); requires the standard
     # bound layout (row 0 vacuous, rows >= 1 finite) so the mask-based rho
     # pattern IS the effective rho (no per-scenario isinf fixup)
-    use_fused = (static.fused and not use_channel
+    use_fused = (static.fused and not use_channel and group_n == 0
                  and factor_bytes <= 12 * 1024 * 1024)
 
     Ax0 = apply_A(x_init, eta, E, h)
@@ -739,6 +752,11 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
         L, Eb = factorize(D, B)
         if static.factor_dtype == "bf16":
             L, Eb = compress_factors(L, Eb, jnp.bfloat16)
+        if group_n and not use_channel:
+            # lane-pad once per factorization (DMA slices must be
+            # 128-aligned; see group_solve.pad_factors)
+            from ..ops.pallas.group_solve import pad_factors
+            L, Eb = pad_factors(L, Eb)
         return rho_b, L, Eb
 
     def admm_iter(x, z, y, rho_b, L, Eb):
@@ -750,12 +768,12 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
             xs3 = solve_factorized_channel(
                 L, Eb, sb.reshape(sb.shape[:-1] + (3, 2 * N)))
             xs = xs3.reshape(sb.shape)
+        elif group_n:
+            from ..ops.pallas.group_solve import grouped_solver
+            xs = grouped_solver(group_n)(L, Eb, to_stacked(b_sv))
         elif pallas_resident:
             from ..ops.pallas.banded_solve import solve_factorized_single
             xs = solve_factorized_single(L, Eb, to_stacked(b_sv))
-        elif use_pallas:
-            from ..ops.pallas.banded_solve import solve_factorized_streaming
-            xs = solve_factorized_streaming(L, Eb, to_stacked(b_sv))
         else:
             xs = solve_factorized(L, Eb, to_stacked(b_sv))
         x_t = from_stacked(xs.astype(dtype), N)

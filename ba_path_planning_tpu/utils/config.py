@@ -86,6 +86,8 @@ class SolverStatic:
     #                                  (state-space block-tridiag Cholesky)
     pallas: bool = False             # fused Pallas kernel for banded solves
     fused: bool = False              # whole-interval fused ADMM kernel
+    group: int = 0                   # scenarios per serial step in the
+    #                                  grouped streaming solve (0 = off)
     factor_dtype: str = "f32"        # "f32" | "bf16" factor storage (direct)
 
 
@@ -117,6 +119,8 @@ class SolverConfig:
     method: str = "cg"               # QP solver: "cg" | "direct" (see SolverStatic)
     pallas: bool = False             # fused Pallas kernel for banded solves
     fused: bool = False              # whole-interval fused ADMM kernel
+    group: int = 0                   # scenarios per serial step in the
+    #                                  grouped streaming solve (0 = off)
     factor_dtype: str = "f32"        # "f32" | "bf16" factor storage (direct)
     # Exact-penalty weight on collision rows: inf = hard constraints
     # (reference semantics); finite = soft rows that keep infeasible SCP
@@ -139,7 +143,7 @@ class SolverConfig:
                             polish=self.polish,
                             operator_impl=self.operator_impl,
                             method=self.method, pallas=self.pallas,
-                            fused=self.fused,
+                            fused=self.fused, group=self.group,
                             factor_dtype=self.factor_dtype)
 
     @classmethod
@@ -151,15 +155,21 @@ class SolverConfig:
         benchmark config with 100% feasibility.
 
         ``pallas=None`` auto-detects: the fused kernel compiles only on TPU
-        backends (CPU falls back to the XLA scan path)."""
+        backends (CPU falls back to the XLA scan path).
+
+        Iteration budget / rho re-tuned on v5e with the compacting driver
+        (scripts/tune_iters.py): a 35-iteration ADMM budget trades slightly
+        more SCP re-linearizations (mean 1.56 vs 1.30) for much cheaper QP
+        solves — 312 vs 250 solves/s at 100% collision-free over 1536
+        randomized scenarios."""
         if pallas is None:
             try:
                 import jax
                 pallas = jax.default_backend() not in ("cpu",)
             except Exception:
                 pallas = False
-        return cls(method="direct", pallas=pallas, rho=1.6, max_iter=75,
-                   check_interval=75, collision_margin=0.10, polish=False,
+        return cls(method="direct", pallas=pallas, rho=2.2, max_iter=35,
+                   check_interval=35, collision_margin=0.10, polish=False,
                    adaptive_rho=False)
 
 

@@ -22,7 +22,7 @@ v0 = jnp.zeros((B, problem.n_vehicles, 2), jnp.float32)
 mesh = make_mesh()
 
 configs = []
-for it in (25, 30, 35, 40):
+for it in (35, 45, 55):
     for rho in (1.6,):
         configs.append((it, rho))
 

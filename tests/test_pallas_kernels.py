@@ -76,15 +76,15 @@ def test_scp_direct_pallas_end_to_end_interpret():
                                np.asarray(res2.positions), atol=1e-3)
 
 
-def test_pallas_streaming_solve_matches_scan():
-    """Streaming-DMA kernel equals the XLA scan solve (interpret mode)."""
-    from jax.experimental.pallas import tpu as pltpu
-    from ba_path_planning_tpu.ops.pallas.banded_solve import (
-        solve_factorized_streaming)
+def test_grouped_solve_matches_scan():
+    """Scenario-grouped streaming kernel equals the XLA scan solve
+    (interpret mode), including the batch-pad (B % G != 0) path."""
+    from ba_path_planning_tpu.ops.pallas.group_solve import (
+        grouped_solver, pad_factors)
     N, K, h = 3, 8, 0.2
     n = 6 * N
     P = N * (N - 1) // 2
-    B = 2
+    B = 3                              # not a multiple of group=2
     rng = np.random.default_rng(7)
     pairs = make_pair_index(N, dtype=jnp.float32)
     cfg = SolverConfig(method="direct", adaptive_rho=False)
@@ -110,7 +110,41 @@ def test_pallas_streaming_solve_matches_scan():
     Linv, Eb = jax.vmap(mk)(lower, upper, eta)
     b = jnp.asarray(rng.normal(size=(B, K, n)), jnp.float32)
     want = jax.vmap(solve_factorized)(Linv, Eb, b)
-    with pltpu.force_tpu_interpret_mode():
-        got = jax.vmap(solve_factorized_streaming)(Linv, Eb, b)
-        got = np.asarray(got)
+    Lp, Ep = pad_factors(Linv, Eb)
+    got = np.asarray(jax.vmap(grouped_solver(2))(Lp, Ep, b))
     np.testing.assert_allclose(got, np.asarray(want), atol=1e-5, rtol=1e-4)
+    # unbatched fallback
+    one = np.asarray(grouped_solver(2)(Lp[0], Ep[0], b[0]))
+    np.testing.assert_allclose(one, np.asarray(want[0]), atol=1e-5,
+                               rtol=1e-4)
+
+
+def test_scp_direct_grouped_end_to_end():
+    """Full SCP with the grouped streaming solve: same trajectories as the
+    plain direct path (interpret mode on CPU)."""
+    from ba_path_planning_tpu.solvers.scp import SCPEngine
+    from ba_path_planning_tpu.utils import ProblemConfig
+
+    problem = ProblemConfig(n_vehicles=3, time_horizon=2.0, time_step=0.2,
+                            min_distance=0.8, max_iterations=8,
+                            stop_mode="feasible")
+    p0 = np.array([[6.0, 10.0], [14.0, 10.0], [10.0, 6.0]])
+    pf = np.array([[14.0, 10.1], [6.0, 9.9], [10.0, 14.0]])
+    v0 = np.zeros((3, 2))
+
+    def run(group):
+        cfg = SolverConfig(method="direct", adaptive_rho=False, polish=False,
+                           max_iter=40, check_interval=40, rho=1.6,
+                           collision_margin=0.05, group=group)
+        eng = SCPEngine(problem, cfg, dtype=jnp.float32)
+        b0 = np.stack([p0, p0 + 0.1])
+        bf = np.stack([pf, pf - 0.1])
+        bv = np.zeros((2, 3, 2))
+        keys = jax.random.split(jax.random.key(0), 2)
+        return eng.solve_batch(b0, bv, bf, bv, keys)
+
+    base = run(0)
+    grp = run(2)
+    assert np.asarray(grp.feasible_final).all()
+    np.testing.assert_allclose(np.asarray(grp.positions),
+                               np.asarray(base.positions), atol=1e-3)
