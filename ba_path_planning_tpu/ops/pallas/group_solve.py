@@ -40,14 +40,17 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def pad_factors(Linv, Eb):
+def pad_factors(Linv, Eb=None):
     """Zero-pad factor blocks (..., n, n) to the TPU lane width
-    (..., np, np), np = ceil(n/128)*128.  Call once per factorization."""
+    (..., np, np), np = ceil(n/128)*128.  Call once per factorization.
+    With ``Eb=None`` pads and returns only ``Linv``."""
     n = Linv.shape[-1]
     np_ = _round_up(n, 128)
     if np_ == n:
-        return Linv, Eb
+        return Linv if Eb is None else (Linv, Eb)
     pad = [(0, 0)] * (Linv.ndim - 2) + [(0, np_ - n), (0, np_ - n)]
+    if Eb is None:
+        return jnp.pad(Linv, pad)
     return jnp.pad(Linv, pad), jnp.pad(Eb, pad)
 
 
@@ -220,5 +223,196 @@ def grouped_solver(group: int):
     def _rule(axis_size, in_batched, Lp, Ep, b):
         assert all(in_batched), "factors and rhs must be batched together"
         return solve_factorized_grouped(Lp, Ep, b, group=group), True
+
+    return solve
+
+
+# ---------------------------------------------------------------------------
+# L-only variant: stream HALF the factor bytes per iteration
+# ---------------------------------------------------------------------------
+#
+# The (Linv, Eb) sweeps stream two dense block sets; but the normal matrix's
+# off-diagonals are slot-scalar (B_k = C_k (x) I_2N, 6 scalars per step —
+# ``banded.b_slot_mats``), so the solve can be rewritten around
+# w_k = Linv_k^T y_k with E-applies replaced by free slot recombinations
+# (``banded.solve_factorized_L``).  Only Linv streams: the DMA-bound solve
+# gets 2x cheaper.
+
+def _make_group_kernel_L(n: int, G: int):
+    n2 = n // 3
+
+    def kernel(linv_hbm, c_ref, b_ref, x_ref, lbuf, w_scr, sems):
+        """linv_hbm (B, K, np, np) HBM; c_ref (K-1, 9) SMEM slot scalars
+        (row-major 3x3); b_ref/x_ref (G, K, np) VMEM; w_scr (G, K, np)."""
+        K = b_ref.shape[1]
+        np_ = b_ref.shape[2]
+        i = pl.program_id(0)
+        dtype = b_ref.dtype
+
+        def mv(M, t):
+            return jnp.sum(M * t[:, None, :], axis=2)
+
+        def mv_t(M, t):
+            return jnp.sum(M * t[:, :, None], axis=1)
+
+        def pad_cat(ra, rp, rv):
+            parts = [ra, rp, rv]
+            if np_ > n:
+                parts.append(jnp.zeros((G, np_ - n), dtype))
+            return jnp.concatenate(parts, axis=-1)
+
+        def b_apply(k, w):
+            # B_k w (C row k-1); C upper-triangular: indices 3, 6, 7 are 0
+            wa, wp, wv = w[:, 0:n2], w[:, n2:2 * n2], w[:, 2 * n2:n]
+            c = lambda j: c_ref[k - 1, j]
+            ra = c(0) * wa + c(1) * wp + c(2) * wv
+            rp = c(4) * wp + c(5) * wv
+            rv = c(8) * wv
+            return pad_cat(ra, rp, rv)
+
+        def b_apply_t(k, x):
+            # B_k^T x (C row k-1)
+            xa, xp, xv = x[:, 0:n2], x[:, n2:2 * n2], x[:, 2 * n2:n]
+            c = lambda j: c_ref[k - 1, j]
+            ra = c(0) * xa
+            rp = c(1) * xa + c(4) * xp
+            rv = c(2) * xa + c(5) * xp + c(8) * xv
+            return pad_cat(ra, rp, rv)
+
+        def l_dma(slot, k):
+            return [pltpu.make_async_copy(linv_hbm.at[i * G + g, k],
+                                          lbuf.at[slot, g], sems.at[slot, g])
+                    for g in range(G)]
+
+        def start(dmas):
+            for d in dmas:
+                d.start()
+
+        def wait(dmas):
+            for d in dmas:
+                d.wait()
+
+        # forward: y_k = Linv_k (b_k - B_k w_{k-1}),  w_k = Linv_k^T y_k
+        start(l_dma(0, 0))
+
+        def fwd(k, _):
+            slot = k % 2
+            nxt = (k + 1) % 2
+
+            @pl.when(k + 1 < K)
+            def _():
+                start(l_dma(nxt, k + 1))
+
+            wait(l_dma(slot, k))
+
+            @pl.when(k == 0)
+            def _():
+                y = mv(lbuf[slot], b_ref[:, 0])
+                w_scr[:, 0] = mv_t(lbuf[slot], y)
+
+            @pl.when(k > 0)
+            def _():
+                t = b_ref[:, k] - b_apply(k, w_scr[:, k - 1])
+                y = mv(lbuf[slot], t)
+                w_scr[:, k] = mv_t(lbuf[slot], y)
+            return 0
+
+        jax.lax.fori_loop(0, K, fwd, 0)
+
+        # backward: x_{K-1} = w_{K-1};
+        #           x_k = w_k - Linv_k^T (Linv_k (B_{k+1}^T x_{k+1}))
+        x_ref[:, K - 1] = w_scr[:, K - 1]
+        start(l_dma((K - 2) % 2, K - 2))
+
+        def bwd(j, _):
+            k = K - 2 - j
+            slot = k % 2
+            nxt = (k - 1) % 2
+
+            @pl.when(k > 0)
+            def _():
+                start(l_dma(nxt, k - 1))
+
+            wait(l_dma(slot, k))
+            v = b_apply_t(k + 1, x_ref[:, k + 1])
+            u = mv(lbuf[slot], v)
+            x_ref[:, k] = w_scr[:, k] - mv_t(lbuf[slot], u)
+            return 0
+
+        jax.lax.fori_loop(0, K - 1, bwd, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+def solve_factorized_grouped_L(Lp, C, b, *, group: int = 8,
+                               interpret: bool | None = None):
+    """Batched L-only banded solve, G scenarios per serial recurrence step.
+
+    Lp (B, K, np, np): lane-PADDED inverted diagonal factors
+    (``banded.factorize_L`` + :func:`pad_factors`); C (K-1, 3, 3) shared
+    slot scalars; b (B, K, n) -> x (B, K, n).
+    """
+    B, K, np_, _ = Lp.shape
+    n = b.shape[-1]
+    if interpret is None:
+        interpret = _auto_interpret()
+    G = min(group, B)
+    Bp = _round_up(B, G)
+    fdt = Lp.dtype
+
+    if Bp > B:
+        eye = jnp.broadcast_to(jnp.eye(np_, dtype=fdt),
+                               (Bp - B, K, np_, np_))
+        Lp = jnp.concatenate([Lp, eye], axis=0)
+        b = jnp.concatenate([b, jnp.zeros((Bp - B, K, n), b.dtype)], axis=0)
+    bp = jnp.pad(b, [(0, 0), (0, 0), (0, np_ - n)]) if np_ > n else b
+    c_flat = C.reshape(K - 1, 9).astype(b.dtype)
+
+    NG = Bp // G
+    xg = pl.pallas_call(
+        _make_group_kernel_L(n, G),
+        grid=(NG,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, K, np_), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, K, np_), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, K, np_), b.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, G, np_, np_), fdt),
+            pltpu.VMEM((G, K, np_), b.dtype),
+            pltpu.SemaphoreType.DMA((2, G)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=bool(interpret),
+    )(Lp, c_flat, bp)
+    return xg[:B, :, :n]
+
+
+@functools.lru_cache(maxsize=None)
+def grouped_solver_L(group: int):
+    """Per-scenario L-only solve on PADDED factors; vmap dispatches the
+    G-way grouped kernel.  C must be batch-shared (mask-based rho
+    patterns)."""
+
+    @jax.custom_batching.custom_vmap
+    def solve(Lp, C, b):
+        from ...solvers.banded import solve_factorized_L
+        n = b.shape[-1]
+        return solve_factorized_L(Lp[..., :n, :n], C, b)
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, Lp, C, b):
+        lb, cb, bb = in_batched
+        if cb:
+            raise NotImplementedError(
+                "grouped L-solve needs batch-shared slot scalars "
+                "(use rho_pattern_masks)")
+        assert lb and bb, "factors and rhs must be batched together"
+        return solve_factorized_grouped_L(Lp, C, b, group=group), True
 
     return solve

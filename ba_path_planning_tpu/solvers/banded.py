@@ -439,6 +439,18 @@ def collision_blocks(rho_col, eta, E) -> jnp.ndarray:
     return jnp.concatenate([colM[1:], jnp.zeros_like(colM[:1])], axis=0)
 
 
+def assemble_D(rho: RowVals, eta, E, *, h: float, sigma, n_vehicles: int):
+    """Diagonal blocks D (K, 6N, 6N) + slot-scalar off-diagonals
+    C (K-1, 3, 3) — the dense-B-free form for :func:`factorize_L`."""
+    N = n_vehicles
+    n2 = 2 * N
+    D, s = assemble_skeleton(rho, h=h, sigma=sigma, n_vehicles=N)
+    D = D + 0.0
+    colM_pad = collision_blocks(rho.col, eta, E)
+    D = D.at[:, n2:2 * n2, n2:2 * n2].add(colM_pad)
+    return D, b_slot_mats(s)
+
+
 def assemble_blocks(rho: RowVals, eta, E, *, h: float, sigma,
                     n_vehicles: int):
     """Build D (K, 6N, 6N) and B (K-1, 6N, 6N) for one scenario.
@@ -531,6 +543,135 @@ def factorize_matmul(D, B):
     _, (Linvs, Es) = jax.lax.scan(step, Linv0, (D[1:], B))
     Linv = jnp.concatenate([Linv0[None], Linvs], axis=0)
     return Linv, Es
+
+
+def b_slot_mats(s: dict) -> jnp.ndarray:
+    """The off-diagonal blocks B_k as (K-1, 3, 3) SLOT-scalar matrices.
+
+    Every B_k is block-structured over the (a, p, v) slots with each slot
+    pair a scalar multiple of I_2N (collision rows touch only D), so the
+    whole off-diagonal is 6 scalars per step:
+
+        B_k = C_k (x)_slot I_2N,   C_k upper-triangular 3x3.
+
+    This makes the dense E_k = B_k L_{k-1}^{-T} factor redundant — see
+    :func:`factorize_L` / :func:`solve_factorized_L`.
+    """
+    z = jnp.zeros_like(s["aa_b"])
+    return jnp.stack([
+        jnp.stack([s["aa_b"], s["ap_pk"], s["av_bk"]], axis=-1),
+        jnp.stack([z, s["pp_b"], s["pv_b"]], axis=-1),
+        jnp.stack([z, z, s["vv_b"]], axis=-1),
+    ], axis=-2)
+
+
+def slot_apply(C3, M):
+    """B-apply via slot recombination:  (C (x) I) @ M  for M (..., n, cols).
+
+    Rows of the result in slot s are sum_t C[s, t] * (rows of M in slot t) —
+    no n^2 work, just scaled adds of row blocks.
+    """
+    n = M.shape[-2]
+    n2 = n // 3
+    M3 = M.reshape(M.shape[:-2] + (3, n2) + M.shape[-1:])
+    out = jnp.einsum('...st,...tcj->...scj', C3, M3, precision=_HP)
+    return out.reshape(M.shape)
+
+
+def slot_apply_vec(C3, w):
+    """(C (x) I) w for a stacked vector w (..., n)."""
+    n = w.shape[-1]
+    w3 = w.reshape(w.shape[:-1] + (3, n // 3))
+    out = jnp.einsum('...st,...tc->...sc', C3, w3, precision=_HP)
+    return out.reshape(w.shape)
+
+
+def factorize_L(D, C):
+    """Block Cholesky of [D_k; B_k = C_k (x) I] storing ONLY the inverted
+    diagonal factors Linv (K, n, n) — the dense E_k are never materialized.
+
+    The substitution sweeps are algebraically identical to the (Linv, Eb)
+    form (:func:`solve_factorized_L`), with E-applies replaced by
+    L-applies + slot recombinations: same flop count, but HALF the factor
+    bytes to store and (critically) to stream from HBM per ADMM iteration —
+    the grouped streaming solve is DMA-bound.
+    """
+    from ..ops.blocked_chol import chol_inv
+
+    if D.shape[-1] < 32 or jax.default_backend() in ("cpu",):
+        chol = jax.lax.linalg.cholesky
+        L0 = chol(D[0])
+
+        def step_x(Lprev, DC):
+            Dk, Ck = DC
+            # E_k = B_k L^{-T} = slot_apply(Ck, Linv_prev^T transposed back)
+            Ek = jax.lax.linalg.triangular_solve(
+                Lprev, slot_apply(Ck, jnp.eye(Dk.shape[-1], dtype=Dk.dtype)),
+                lower=True, transpose_a=True, left_side=False)
+            Lk = chol(Dk - jnp.einsum('ij,kj->ik', Ek, Ek, precision=_HP))
+            return Lk, Lk
+
+        _, Ls = jax.lax.scan(step_x, L0, (D[1:], C))
+        L = jnp.concatenate([L0[None], Ls], axis=0)
+        eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+        return jax.lax.linalg.triangular_solve(
+            L, jnp.broadcast_to(eye, L.shape), lower=True, left_side=True)
+
+    Linv0 = chol_inv(D[0])[1]
+
+    def step(Linv_prev, DC):
+        Dk, Ck = DC
+        # E_k = B_k Linv_prev^T: rows slot-recombined from Linv_prev^T
+        Ek = slot_apply(Ck, jnp.swapaxes(Linv_prev, -1, -2))
+        Sk = Dk - jnp.einsum('ij,kj->ik', Ek, Ek, precision=_HP)
+        Linv_k = chol_inv(Sk)[1]
+        return Linv_k, Linv_k
+
+    _, Linvs = jax.lax.scan(step, Linv0, (D[1:], C))
+    return jnp.concatenate([Linv0[None], Linvs], axis=0)
+
+
+def solve_factorized_L(Linv, C, b):
+    """Solve M x = b from the L-only factorization (Linv (K, n, n),
+    C (K-1, 3, 3) slot scalars).  b: (K, n).
+
+    Forward keeps the doubly-transformed iterate w_k = Linv_k^T y_k so the
+    E-apply becomes the free slot recombination B_k w_{k-1}:
+
+        y_k = Linv_k (b_k - B_k w_{k-1}),   w_k = Linv_k^T y_k
+        x_{K-1} = w_{K-1}
+        x_k = w_k - Linv_k^T (Linv_k (B_{k+1}^T x_{k+1}))
+
+    Two L-applies per step per sweep — the same count as the (Linv, Eb)
+    sweeps, with only Linv streamed.
+    """
+    def mv(M, t):
+        return jnp.sum(M * t[..., None, :], axis=-1)
+
+    def mv_t(M, t):
+        return jnp.sum(M * t[..., :, None], axis=-2)
+
+    w0 = mv_t(Linv[0], mv(Linv[0], b[0]))
+
+    def fwd(wprev, inp):
+        Lk, Ck, bk = inp
+        yk = mv(Lk, bk - slot_apply_vec(Ck, wprev))
+        wk = mv_t(Lk, yk)
+        return wk, wk
+
+    _, ws = jax.lax.scan(fwd, w0, (Linv[1:], C, b[1:]))
+    w = jnp.concatenate([w0[None], ws], axis=0)
+
+    xK = w[-1]
+
+    def bwd(xnext, inp):
+        Lk, Ck1, wk = inp
+        u = mv(Lk, slot_apply_vec(jnp.swapaxes(Ck1, -1, -2), xnext))
+        xk = wk - mv_t(Lk, u)
+        return xk, xk
+
+    _, xs = jax.lax.scan(bwd, xK, (Linv[:-1], C, w[:-1]), reverse=True)
+    return jnp.concatenate([xs, xK[None]], axis=0)
 
 
 def factorize(D, B):
@@ -747,16 +888,22 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
         if use_channel:
             Dc, Bc = assemble_channel(rho_b, h=h, sigma=sigma)
             return rho_b, *factorize(Dc, Bc)
+        if group_n:
+            # L-only form: the dense E factors are redundant (off-diagonals
+            # are slot scalars) — half the factor bytes stored AND streamed
+            # per ADMM iteration.  Lane-padded once for the DMA alignment
+            # rule (group_solve.pad_factors).
+            from ..ops.pallas.group_solve import pad_factors
+            D, C = assemble_D(rho_b, eta, E, h=h, sigma=sigma, n_vehicles=N)
+            L = factorize_L(D, C)
+            if static.factor_dtype == "bf16":
+                L = L.astype(jnp.bfloat16)
+            return rho_b, pad_factors(L), C
         D, B = assemble_blocks(rho_b, eta, E, h=h, sigma=sigma,
                                n_vehicles=N)
         L, Eb = factorize(D, B)
         if static.factor_dtype == "bf16":
             L, Eb = compress_factors(L, Eb, jnp.bfloat16)
-        if group_n and not use_channel:
-            # lane-pad once per factorization (DMA slices must be
-            # 128-aligned; see group_solve.pad_factors)
-            from ..ops.pallas.group_solve import pad_factors
-            L, Eb = pad_factors(L, Eb)
         return rho_b, L, Eb
 
     def admm_iter(x, z, y, rho_b, L, Eb):
@@ -769,8 +916,8 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
                 L, Eb, sb.reshape(sb.shape[:-1] + (3, 2 * N)))
             xs = xs3.reshape(sb.shape)
         elif group_n:
-            from ..ops.pallas.group_solve import grouped_solver
-            xs = grouped_solver(group_n)(L, Eb, to_stacked(b_sv))
+            from ..ops.pallas.group_solve import grouped_solver_L
+            xs = grouped_solver_L(group_n)(L, Eb, to_stacked(b_sv))
         elif pallas_resident:
             from ..ops.pallas.banded_solve import solve_factorized_single
             xs = solve_factorized_single(L, Eb, to_stacked(b_sv))

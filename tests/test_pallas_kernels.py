@@ -148,3 +148,45 @@ def test_scp_direct_grouped_end_to_end():
     assert np.asarray(grp.feasible_final).all()
     np.testing.assert_allclose(np.asarray(grp.positions),
                                np.asarray(base.positions), atol=1e-3)
+
+
+def test_grouped_L_solve_matches_scan():
+    """L-only grouped kernel (streams half the factor bytes) equals the
+    (Linv, Eb) scan solve; C slot scalars shared across the batch."""
+    from ba_path_planning_tpu.ops.pallas.group_solve import (
+        grouped_solver_L, pad_factors)
+    from ba_path_planning_tpu.solvers.banded import (assemble_D, factorize_L,
+                                                     rho_pattern_masks,
+                                                     solve_factorized_L)
+    N, K, h, B = 4, 9, 0.2, 5
+    n = 6 * N
+    P = N * (N - 1) // 2
+    rng = np.random.default_rng(3)
+    pairs = make_pair_index(N, dtype=jnp.float32)
+    cfg = SolverConfig(method="direct", adaptive_rho=False)
+    scaling = row_scaling_state(K, h, dtype=jnp.float32)
+    rho_b = rho_pattern_masks(scaling, cfg.static_part(), jnp.float32(1.7),
+                              jnp.float32(1.0), n_steps=K, n_pairs=P,
+                              col_enabled=True, dtype=jnp.float32)
+    eta = jnp.asarray(rng.normal(size=(B, K, P, 2)), jnp.float32)
+    eta = eta / jnp.linalg.norm(eta, axis=-1, keepdims=True)
+
+    def mk(e):
+        D, C = assemble_D(rho_b, e, pairs.E, h=h, sigma=jnp.float32(1e-6),
+                          n_vehicles=N)
+        return factorize_L(D, C), C
+
+    Linv, C = jax.vmap(mk, out_axes=(0, None))(eta)
+    b = jnp.asarray(rng.normal(size=(B, K, n)), jnp.float32)
+    want = jax.vmap(lambda L, bb: solve_factorized_L(L, C, bb))(Linv, b)
+    # also pin vs the (Linv, Eb) oracle through the full dense route
+    oracle = jax.vmap(solve_factorized)(
+        *jax.vmap(lambda e: factorize(*assemble_blocks(
+            rho_b, e, pairs.E, h=h, sigma=jnp.float32(1e-6),
+            n_vehicles=N)))(eta), b)
+    np.testing.assert_allclose(np.asarray(want), np.asarray(oracle),
+                               atol=1e-4, rtol=1e-3)
+    Lp = pad_factors(Linv)
+    got = np.asarray(jax.vmap(grouped_solver_L(2), in_axes=(0, None, 0))(
+        Lp, C, b))
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5, rtol=1e-4)
