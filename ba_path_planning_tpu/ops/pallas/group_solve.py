@@ -238,12 +238,15 @@ def grouped_solver(group: int):
 # (``banded.solve_factorized_L``).  Only Linv streams: the DMA-bound solve
 # gets 2x cheaper.
 
-def _make_group_kernel_L(n: int, G: int):
+def _make_group_kernel_L(n: int, G: int, kmajor: bool = False):
     n2 = n // 3
 
     def kernel(linv_hbm, c_ref, b_ref, x_ref, lbuf, w_scr, sems):
-        """linv_hbm (B, K, np, np) HBM; c_ref (K-1, 9) SMEM slot scalars
-        (row-major 3x3); b_ref/x_ref (G, K, np) VMEM; w_scr (G, K, np)."""
+        """linv_hbm HBM factor blocks — (B, K, np, np), or (K, B, np, np)
+        when ``kmajor`` (one contiguous (G, np, np) DMA per recurrence step
+        instead of G strided per-scenario copies); c_ref (K-1, 9) SMEM slot
+        scalars (row-major 3x3); b_ref/x_ref (G, K, np) VMEM; w_scr
+        (G, K, np)."""
         K = b_ref.shape[1]
         np_ = b_ref.shape[2]
         i = pl.program_id(0)
@@ -279,10 +282,17 @@ def _make_group_kernel_L(n: int, G: int):
             rv = c(2) * xa + c(5) * xp + c(8) * xv
             return pad_cat(ra, rp, rv)
 
-        def l_dma(slot, k):
-            return [pltpu.make_async_copy(linv_hbm.at[i * G + g, k],
-                                          lbuf.at[slot, g], sems.at[slot, g])
-                    for g in range(G)]
+        if kmajor:
+            def l_dma(slot, k):
+                return [pltpu.make_async_copy(
+                    linv_hbm.at[k, pl.ds(i * G, G)], lbuf.at[slot],
+                    sems.at[slot, 0])]
+        else:
+            def l_dma(slot, k):
+                return [pltpu.make_async_copy(linv_hbm.at[i * G + g, k],
+                                              lbuf.at[slot, g],
+                                              sems.at[slot, g])
+                        for g in range(G)]
 
         def start(dmas):
             for d in dmas:
@@ -344,14 +354,20 @@ def _make_group_kernel_L(n: int, G: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+@functools.partial(jax.jit, static_argnames=("group", "interpret", "kmajor"))
 def solve_factorized_grouped_L(Lp, C, b, *, group: int = 8,
-                               interpret: bool | None = None):
+                               interpret: bool | None = None,
+                               kmajor: bool = True):
     """Batched L-only banded solve, G scenarios per serial recurrence step.
 
     Lp (B, K, np, np): lane-PADDED inverted diagonal factors
     (``banded.factorize_L`` + :func:`pad_factors`); C (K-1, 3, 3) shared
     slot scalars; b (B, K, n) -> x (B, K, n).
+
+    ``kmajor``: transpose the factors to (K, B, np, np) once so every
+    recurrence step issues ONE contiguous (G, np, np) DMA instead of G
+    strided 64 KB copies (the transpose costs one extra pass over the
+    factor bytes, amortized over the ~2*iters streaming passes).
     """
     B, K, np_, _ = Lp.shape
     n = b.shape[-1]
@@ -368,10 +384,12 @@ def solve_factorized_grouped_L(Lp, C, b, *, group: int = 8,
         b = jnp.concatenate([b, jnp.zeros((Bp - B, K, n), b.dtype)], axis=0)
     bp = jnp.pad(b, [(0, 0), (0, 0), (0, np_ - n)]) if np_ > n else b
     c_flat = C.reshape(K - 1, 9).astype(b.dtype)
+    if kmajor:
+        Lp = jnp.swapaxes(Lp, 0, 1)
 
     NG = Bp // G
     xg = pl.pallas_call(
-        _make_group_kernel_L(n, G),
+        _make_group_kernel_L(n, G, kmajor=kmajor),
         grid=(NG,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),

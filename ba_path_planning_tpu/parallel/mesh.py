@@ -123,18 +123,29 @@ class ShardedSCPSolver:
     def _build_compacted(self, chunk: int):
         start, step, finalize = self.engine.start_step_finalize_fns()
         sh = self.sharding
+        max_iters = self.engine.problem.max_iterations
 
         start_c = jax.jit(jax.vmap(start), out_shardings=sh)
-        step_c = jax.jit(
-            lambda carry, p0, v0, pf, vf, keys, caps:
-            jax.vmap(step)(carry, p0, v0, pf, vf, keys, caps),
-            out_shardings=sh)
         finalize_c = jax.jit(jax.vmap(finalize), out_shardings=sh)
-        gather = jax.jit(lambda tree, idx: jax.tree.map(
-            lambda x: x[idx], tree), out_shardings=sh)
 
-        def scatter(full, part, idx):
-            return jax.tree.map(lambda f, p: f.at[idx].set(p), full, part)
+        def active_flags(carry):
+            return (~carry.stop & ~carry.feasible_initial
+                    & (carry.it < max_iters))
+
+        # gather active lanes + SCP step + scatter back + next active mask,
+        # all in ONE dispatch: the remote tunnel charges a round-trip per
+        # jitted call, which at three calls per compaction dispatch rivaled
+        # the QP work itself.  The full carry is donated so the scatter
+        # updates in place.
+        def fused(carry, jidx, si, p0, v0, pf, vf, keys):
+            cpart = jax.tree.map(lambda x: x[jidx], carry)
+            apart = jax.tree.map(lambda x: x[jidx], (p0, v0, pf, vf, keys))
+            cpart = jax.vmap(step)(cpart, *apart, cpart.it + si)
+            new = jax.tree.map(lambda f, p: f.at[jidx].set(p), carry, cpart)
+            return new, active_flags(new)
+
+        step_c = jax.jit(fused, out_shardings=(sh, sh), donate_argnums=0)
+        flags_c = jax.jit(active_flags, out_shardings=sh)
 
         # tail dispatch size: late compaction rounds have few active lanes,
         # so padding them to the full chunk wastes most of the dispatch — a
@@ -145,8 +156,7 @@ class ShardedSCPSolver:
             tail_chunk = tail
         else:
             tail_chunk = chunk
-        self._compact = (start_c, step_c, finalize_c, gather,
-                         jax.jit(scatter, out_shardings=sh), chunk,
+        self._compact = (start_c, step_c, finalize_c, flags_c, chunk,
                          tail_chunk)
         return self._compact
 
@@ -187,11 +197,12 @@ class ShardedSCPSolver:
         keys = jax.device_put(keys, self.sharding)
 
         compact = getattr(self, "_compact", None)
-        if compact is None or compact[5] != chunk:
+        if compact is None or compact[4] != chunk:
             compact = self._build_compacted(chunk)
-        start_c, step_c, finalize_c, gather, scatter, _, tail_chunk = compact
+        start_c, step_c, finalize_c, flags_c, _, tail_chunk = compact
 
         args = (p0, v0, pf, vf, keys)
+        si = jnp.int32(step_iters)
 
         # phase 1 over the full batch, chunk by chunk
         carries = []
@@ -199,22 +210,15 @@ class ShardedSCPSolver:
             carries.append(start_c(*jax.tree.map(
                 lambda x: x[lo:lo + chunk], args)))
         carry = jax.tree.map(lambda *xs: jnp.concatenate(xs), *carries)
+        flags = flags_c(carry)
 
         def dispatch(idx, size):
             if idx.size < size:        # pad by repeating active lanes
                 idx = np_.concatenate([idx, np_.resize(idx, size - idx.size)])
-            jidx = jnp.asarray(idx)
-            cpart = gather(carry, jidx)
-            apart = gather(args, jidx)
-            cpart = step_c(cpart, *apart, cpart.it + step_iters)
-            return scatter(carry, cpart, jidx)
+            return step_c(carry, jnp.asarray(idx), si, *args)
 
-        max_iters = self.engine.problem.max_iterations
         while True:
-            active = np_.flatnonzero(np_.asarray(
-                ~np_.asarray(carry.stop)
-                & ~np_.asarray(carry.feasible_initial)
-                & (np_.asarray(carry.it) < max_iters)))
+            active = np_.flatnonzero(np_.asarray(flags))
             if active.size == 0:
                 break
             lo = 0
@@ -222,7 +226,7 @@ class ShardedSCPSolver:
                 rem = active.size - lo
                 size = chunk if rem > chunk - tail_chunk else tail_chunk
                 size = min(size, chunk)
-                carry = dispatch(active[lo:lo + size], size)
+                carry, flags = dispatch(active[lo:lo + size], size)
                 lo += size
 
         results = []
