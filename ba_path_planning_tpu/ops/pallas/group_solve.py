@@ -411,6 +411,197 @@ def solve_factorized_grouped_L(Lp, C, b, *, group: int = 8,
     return xg[:B, :, :n]
 
 
+# ---------------------------------------------------------------------------
+# X-form variant: symmetric block inverses, ONE matvec per step per sweep
+# ---------------------------------------------------------------------------
+#
+# The L-form sweeps apply Linv_k and Linv_k^T in pairs, i.e. they only ever
+# use X_k = S_k^{-1} (``banded.factorize_X``).  Streaming X_k directly keeps
+# the DMA volume identical but halves the VPU multiply-reduce work, and the
+# factorization producing X is itself far cheaper (Newton-Schulz warm
+# starts) — see banded.py.
+
+def _make_group_kernel_X(n: int, G: int, kmajor: bool = True):
+    n2 = n // 3
+
+    def kernel(x_hbm, c_ref, b_ref, x_ref, xbuf, w_scr, sems):
+        """x_hbm HBM symmetric-inverse blocks — (K, B, np, np) when
+        ``kmajor`` else (B, K, np, np); c_ref (K-1, 9) SMEM slot scalars;
+        b_ref/x_ref (G, K, np) VMEM; w_scr (G, K, np)."""
+        K = b_ref.shape[1]
+        np_ = b_ref.shape[2]
+        i = pl.program_id(0)
+        dtype = b_ref.dtype
+
+        def mv(M, t):
+            return jnp.sum(M * t[:, None, :], axis=2)
+
+        def pad_cat(ra, rp, rv):
+            parts = [ra, rp, rv]
+            if np_ > n:
+                parts.append(jnp.zeros((G, np_ - n), dtype))
+            return jnp.concatenate(parts, axis=-1)
+
+        def b_apply(k, w):
+            wa, wp, wv = w[:, 0:n2], w[:, n2:2 * n2], w[:, 2 * n2:n]
+            c = lambda j: c_ref[k - 1, j]
+            ra = c(0) * wa + c(1) * wp + c(2) * wv
+            rp = c(4) * wp + c(5) * wv
+            rv = c(8) * wv
+            return pad_cat(ra, rp, rv)
+
+        def b_apply_t(k, x):
+            xa, xp, xv = x[:, 0:n2], x[:, n2:2 * n2], x[:, 2 * n2:n]
+            c = lambda j: c_ref[k - 1, j]
+            ra = c(0) * xa
+            rp = c(1) * xa + c(4) * xp
+            rv = c(2) * xa + c(5) * xp + c(8) * xv
+            return pad_cat(ra, rp, rv)
+
+        if kmajor:
+            def x_dma(slot, k):
+                return [pltpu.make_async_copy(
+                    x_hbm.at[k, pl.ds(i * G, G)], xbuf.at[slot],
+                    sems.at[slot, 0])]
+        else:
+            def x_dma(slot, k):
+                return [pltpu.make_async_copy(x_hbm.at[i * G + g, k],
+                                              xbuf.at[slot, g],
+                                              sems.at[slot, g])
+                        for g in range(G)]
+
+        def start(dmas):
+            for d in dmas:
+                d.start()
+
+        def wait(dmas):
+            for d in dmas:
+                d.wait()
+
+        # forward: w_k = X_k (b_k - B_k w_{k-1})
+        start(x_dma(0, 0))
+
+        def fwd(k, _):
+            slot = k % 2
+            nxt = (k + 1) % 2
+
+            @pl.when(k + 1 < K)
+            def _():
+                start(x_dma(nxt, k + 1))
+
+            wait(x_dma(slot, k))
+
+            @pl.when(k == 0)
+            def _():
+                w_scr[:, 0] = mv(xbuf[slot], b_ref[:, 0])
+
+            @pl.when(k > 0)
+            def _():
+                w_scr[:, k] = mv(xbuf[slot],
+                                 b_ref[:, k] - b_apply(k, w_scr[:, k - 1]))
+            return 0
+
+        jax.lax.fori_loop(0, K, fwd, 0)
+
+        # backward: x_{K-1} = w_{K-1};  x_k = w_k - X_k (B_{k+1}^T x_{k+1})
+        x_ref[:, K - 1] = w_scr[:, K - 1]
+        start(x_dma((K - 2) % 2, K - 2))
+
+        def bwd(j, _):
+            k = K - 2 - j
+            slot = k % 2
+            nxt = (k - 1) % 2
+
+            @pl.when(k > 0)
+            def _():
+                start(x_dma(nxt, k - 1))
+
+            wait(x_dma(slot, k))
+            x_ref[:, k] = w_scr[:, k] - mv(xbuf[slot],
+                                           b_apply_t(k + 1, x_ref[:, k + 1]))
+            return 0
+
+        jax.lax.fori_loop(0, K - 1, bwd, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret", "kmajor"))
+def solve_factorized_grouped_X(Xp, C, b, *, group: int = 8,
+                               interpret: bool | None = None,
+                               kmajor: bool = True):
+    """Batched X-form banded solve, G scenarios per serial recurrence step.
+
+    Xp (B, K, np, np): lane-PADDED symmetric inverse blocks
+    (``banded.factorize_X`` + :func:`pad_factors`); C (K-1, 3, 3) shared
+    slot scalars; b (B, K, n) -> x (B, K, n).
+    """
+    B, K, np_, _ = Xp.shape
+    n = b.shape[-1]
+    if interpret is None:
+        interpret = _auto_interpret()
+    G = min(group, B)
+    Bp = _round_up(B, G)
+    fdt = Xp.dtype
+
+    if Bp > B:
+        eye = jnp.broadcast_to(jnp.eye(np_, dtype=fdt),
+                               (Bp - B, K, np_, np_))
+        Xp = jnp.concatenate([Xp, eye], axis=0)
+        b = jnp.concatenate([b, jnp.zeros((Bp - B, K, n), b.dtype)], axis=0)
+    bp = jnp.pad(b, [(0, 0), (0, 0), (0, np_ - n)]) if np_ > n else b
+    c_flat = C.reshape(K - 1, 9).astype(b.dtype)
+    if kmajor:
+        Xp = jnp.swapaxes(Xp, 0, 1)
+
+    NG = Bp // G
+    xg = pl.pallas_call(
+        _make_group_kernel_X(n, G, kmajor=kmajor),
+        grid=(NG,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, K, np_), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, K, np_), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, K, np_), b.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, G, np_, np_), fdt),
+            pltpu.VMEM((G, K, np_), b.dtype),
+            pltpu.SemaphoreType.DMA((2, G)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=bool(interpret),
+    )(Xp, c_flat, bp)
+    return xg[:B, :, :n]
+
+
+@functools.lru_cache(maxsize=None)
+def grouped_solver_X(group: int):
+    """Per-scenario X-form solve on PADDED factors; vmap dispatches the
+    G-way grouped kernel.  C must be batch-shared."""
+
+    @jax.custom_batching.custom_vmap
+    def solve(Xp, C, b):
+        from ...solvers.banded import solve_factorized_X
+        n = b.shape[-1]
+        return solve_factorized_X(Xp[..., :n, :n], C, b)
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, Xp, C, b):
+        xb, cb, bb = in_batched
+        if cb:
+            raise NotImplementedError(
+                "grouped X-solve needs batch-shared slot scalars "
+                "(use rho_pattern_masks)")
+        assert xb and bb, "factors and rhs must be batched together"
+        return solve_factorized_grouped_X(Xp, C, b, group=group), True
+
+    return solve
+
+
 @functools.lru_cache(maxsize=None)
 def grouped_solver_L(group: int):
     """Per-scenario L-only solve on PADDED factors; vmap dispatches the

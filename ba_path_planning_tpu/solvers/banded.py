@@ -674,6 +674,131 @@ def solve_factorized_L(Linv, C, b):
     return jnp.concatenate([xs, xK[None]], axis=0)
 
 
+# ---------------------------------------------------------------------------
+# X-form (symmetric block-inverse) factorization
+# ---------------------------------------------------------------------------
+#
+# The substitution sweeps only ever apply Linv_k and Linv_k^T in PAIRS
+# (see solve_factorized_L: w_k = Linv_k^T Linv_k (...) = S_k^{-1} (...)),
+# so the factorization can store the symmetric inverses X_k = S_k^{-1}
+# directly: one dense matvec per recurrence step instead of two.  The real
+# payoff is the factorization itself: the Schur recursion becomes
+#
+#     S_k = D_k - B_k X_{k-1} B_k^T      (slot recombinations — no matmul)
+#     X_k = S_k^{-1}
+#
+# and since consecutive S_k differ only by the smoothly-varying collision
+# blocks (the static rho pattern is k-uniform in the interior — the jumps
+# are at k=0 and the terminal-equality step k=K-1), X_{k-1} is an excellent
+# warm start for Newton-Schulz inversion: a few batched MXU matmuls replace
+# the latency-bound blocked-Cholesky recursion (~160 small sequential ops
+# per step).  Exact inverses anchor the ends (and optionally every
+# ``ns_anchor``-th step) to stop error accumulation along the chain.
+
+def bxbt(C3, X):
+    """(C (x) I) X (C (x) I)^T for symmetric X via two slot recombinations."""
+    Y = slot_apply(C3, X)
+    return slot_apply(C3, jnp.swapaxes(Y, -1, -2))
+
+
+def _spd_inv(S):
+    """Symmetric inverse of SPD S via the fused Cholesky+inverse."""
+    if S.shape[-1] < 32 or jax.default_backend() in ("cpu",):
+        eye = jnp.eye(S.shape[-1], dtype=S.dtype)
+        L = jax.lax.linalg.cholesky(S)
+        Linv = jax.lax.linalg.triangular_solve(
+            L, jnp.broadcast_to(eye, S.shape), lower=True, left_side=True)
+    else:
+        from ..ops.blocked_chol import chol_inv
+        Linv = chol_inv(S)[1]
+    return jnp.einsum('...ji,...jk->...ik', Linv, Linv, precision=_HP)
+
+
+def factorize_X(D, C, *, ns_iters: int = 0, ns_anchor: int = 0):
+    """Block factorization storing symmetric inverses X (K, n, n).
+
+    ``ns_iters = 0``: exact inverse at every step (same cost profile as
+    :func:`factorize_L`).  ``ns_iters > 0``: interior steps run that many
+    Newton-Schulz iterations warm-started from X_{k-1}; exact anchors at
+    k = 0..2 and k = K-1 always (the Schur chain needs ~2 steps to reach
+    its steady state — measured one-step-lag residuals ||I - S_k X_{k-1}||
+    are ~4 at k=1, ~0.9 at k=2, and <= 0.25 from k=3 on; the terminal step
+    carries the equality-rho jump), plus every ``ns_anchor``-th step if > 0.
+    """
+    K = D.shape[0]
+
+    def exact_step(Xprev, Dk, Ck):
+        return _spd_inv(Dk - bxbt(Ck, Xprev))
+
+    X0 = _spd_inv(D[0])
+    if ns_iters <= 0:
+        def step(Xprev, DC):
+            Xk = exact_step(Xprev, *DC)
+            return Xk, Xk
+
+        _, Xs = jax.lax.scan(step, X0, (D[1:], C))
+        return jnp.concatenate([X0[None], Xs], axis=0)
+
+    def ns_step(Xprev, DC):
+        Dk, Ck = DC
+        Sk = Dk - bxbt(Ck, Xprev)
+        X = Xprev
+        for _ in range(ns_iters):
+            T = jnp.einsum('...ij,...jk->...ik', Sk, X, precision=_HP)
+            X = 2.0 * X - jnp.einsum('...ij,...jk->...ik', X, T,
+                                     precision=_HP)
+        X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
+        return X, X
+
+    anchors = sorted({a for a in range(1, K - 1)
+                      if ns_anchor > 0 and a % ns_anchor == 0}
+                     | ({1, 2} & set(range(1, K))) | {K - 1})
+    parts = [X0[None]]
+    Xprev, prev_k = X0, 0
+    for a in anchors:
+        if a > prev_k + 1:                      # NS run over (prev_k+1 .. a-1)
+            Xprev, Xseg = jax.lax.scan(
+                ns_step, Xprev, (D[prev_k + 1:a], C[prev_k:a - 1]))
+            parts.append(Xseg)
+        Xa = exact_step(Xprev, D[a], C[a - 1])
+        parts.append(Xa[None])
+        Xprev, prev_k = Xa, a
+    return jnp.concatenate(parts, axis=0)
+
+
+def solve_factorized_X(X, C, b):
+    """Solve M x = b from the X-form factorization (X (K, n, n) symmetric
+    inverses, C (K-1, 3, 3) slot scalars).  b: (K, n).
+
+        w_k = X_k (b_k - B_k w_{k-1})
+        x_{K-1} = w_{K-1};   x_k = w_k - X_k (B_{k+1}^T x_{k+1})
+
+    One dense matvec per step per sweep (the L-form needs two).
+    """
+    def mv(M, t):
+        return jnp.sum(M * t[..., None, :], axis=-1)
+
+    w0 = mv(X[0], b[0])
+
+    def fwd(wprev, inp):
+        Xk, Ck, bk = inp
+        wk = mv(Xk, bk - slot_apply_vec(Ck, wprev))
+        return wk, wk
+
+    _, ws = jax.lax.scan(fwd, w0, (X[1:], C, b[1:]))
+    w = jnp.concatenate([w0[None], ws], axis=0)
+
+    xK = w[-1]
+
+    def bwd(xnext, inp):
+        Xk, Ck1, wk = inp
+        xk = wk - mv(Xk, slot_apply_vec(jnp.swapaxes(Ck1, -1, -2), xnext))
+        return xk, xk
+
+    _, xs = jax.lax.scan(bwd, xK, (X[:-1], C, w[:-1]), reverse=True)
+    return jnp.concatenate([xs, xK[None]], axis=0)
+
+
 def factorize(D, B):
     """Block Cholesky of the SPD block-tridiagonal [D_k; B_k]; returns
     (Linv, Eb) inverted-factor form (see :func:`factorize_xla`).
@@ -895,10 +1020,14 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
             # rule (group_solve.pad_factors).
             from ..ops.pallas.group_solve import pad_factors
             D, C = assemble_D(rho_b, eta, E, h=h, sigma=sigma, n_vehicles=N)
-            L = factorize_L(D, C)
+            if static.factor_form == "X":
+                F = factorize_X(D, C, ns_iters=static.ns_iters,
+                                ns_anchor=static.ns_anchor)
+            else:
+                F = factorize_L(D, C)
             if static.factor_dtype == "bf16":
-                L = L.astype(jnp.bfloat16)
-            return rho_b, pad_factors(L), C
+                F = F.astype(jnp.bfloat16)
+            return rho_b, pad_factors(F), C
         D, B = assemble_blocks(rho_b, eta, E, h=h, sigma=sigma,
                                n_vehicles=N)
         L, Eb = factorize(D, B)
@@ -916,8 +1045,12 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
                 L, Eb, sb.reshape(sb.shape[:-1] + (3, 2 * N)))
             xs = xs3.reshape(sb.shape)
         elif group_n:
-            from ..ops.pallas.group_solve import grouped_solver_L
-            xs = grouped_solver_L(group_n)(L, Eb, to_stacked(b_sv))
+            if static.factor_form == "X":
+                from ..ops.pallas.group_solve import grouped_solver_X
+                xs = grouped_solver_X(group_n)(L, Eb, to_stacked(b_sv))
+            else:
+                from ..ops.pallas.group_solve import grouped_solver_L
+                xs = grouped_solver_L(group_n)(L, Eb, to_stacked(b_sv))
         elif pallas_resident:
             from ..ops.pallas.banded_solve import solve_factorized_single
             xs = solve_factorized_single(L, Eb, to_stacked(b_sv))

@@ -89,6 +89,18 @@ class SolverStatic:
     group: int = 0                   # scenarios per serial step in the
     #                                  grouped streaming solve (0 = off)
     factor_dtype: str = "f32"        # "f32" | "bf16" factor storage (direct)
+    # Factor form for the grouped streaming solve:
+    #   "L": inverted Cholesky diagonal factors Linv_k (two triangular-shaped
+    #        matvecs per recurrence step)
+    #   "X": symmetric block inverses X_k = S_k^{-1} (ONE matvec per step;
+    #        enables the Newton-Schulz warm-started factorization below)
+    factor_form: str = "L"
+    # X-form factorization: number of Newton-Schulz iterations per interior
+    # step, warm-started from X_{k-1} (0 = exact inverse at every step), and
+    # the exact-anchor cadence (every ns_anchor-th step is computed exactly;
+    # 0 = anchors only at k = 0 and k = K-1, where the rho pattern jumps)
+    ns_iters: int = 0
+    ns_anchor: int = 0
 
 
 @dataclass(frozen=True)
@@ -122,6 +134,9 @@ class SolverConfig:
     group: int = 0                   # scenarios per serial step in the
     #                                  grouped streaming solve (0 = off)
     factor_dtype: str = "f32"        # "f32" | "bf16" factor storage (direct)
+    factor_form: str = "L"           # "L" | "X" grouped-solve factor form
+    ns_iters: int = 0                # X-form: Newton-Schulz iters (0 = exact)
+    ns_anchor: int = 0               # X-form: exact-anchor cadence (0 = ends)
     # Exact-penalty weight on collision rows: inf = hard constraints
     # (reference semantics); finite = soft rows that keep infeasible SCP
     # linearizations well-posed (bench/production mode)
@@ -144,7 +159,10 @@ class SolverConfig:
                             operator_impl=self.operator_impl,
                             method=self.method, pallas=self.pallas,
                             fused=self.fused, group=self.group,
-                            factor_dtype=self.factor_dtype)
+                            factor_dtype=self.factor_dtype,
+                            factor_form=self.factor_form,
+                            ns_iters=self.ns_iters,
+                            ns_anchor=self.ns_anchor)
 
     @classmethod
     def production(cls, pallas: bool | None = None) -> "SolverConfig":
@@ -170,7 +188,7 @@ class SolverConfig:
                 pallas = False
         return cls(method="direct", pallas=pallas, rho=2.2, max_iter=35,
                    check_interval=35, collision_margin=0.10, polish=False,
-                   adaptive_rho=False)
+                   adaptive_rho=False, factor_form="X", ns_iters=3)
 
 
 def load_yaml(path: str) -> dict[str, Any]:

@@ -190,3 +190,75 @@ def test_grouped_L_solve_matches_scan():
     got = np.asarray(jax.vmap(grouped_solver_L(2), in_axes=(0, None, 0))(
         Lp, C, b))
     np.testing.assert_allclose(got, np.asarray(want), atol=1e-5, rtol=1e-4)
+
+
+def test_grouped_X_solve_matches_scan():
+    """X-form grouped kernel (symmetric inverses, one matvec per step)
+    equals the L-form scan solve; exact and Newton-Schulz factorizations."""
+    from ba_path_planning_tpu.ops.pallas.group_solve import (
+        grouped_solver_X, pad_factors)
+    from ba_path_planning_tpu.solvers.banded import (assemble_D, factorize_L,
+                                                     factorize_X,
+                                                     rho_pattern_masks,
+                                                     solve_factorized_L)
+    N, K, h, B = 4, 9, 0.2, 5
+    n = 6 * N
+    P = N * (N - 1) // 2
+    rng = np.random.default_rng(5)
+    pairs = make_pair_index(N, dtype=jnp.float32)
+    cfg = SolverConfig(method="direct", adaptive_rho=False)
+    scaling = row_scaling_state(K, h, dtype=jnp.float32)
+    rho_b = rho_pattern_masks(scaling, cfg.static_part(), jnp.float32(1.7),
+                              jnp.float32(1.0), n_steps=K, n_pairs=P,
+                              col_enabled=True, dtype=jnp.float32)
+    eta = jnp.asarray(rng.normal(size=(B, K, P, 2)), jnp.float32)
+    eta = eta / jnp.linalg.norm(eta, axis=-1, keepdims=True)
+
+    def mk(e):
+        D, C = assemble_D(rho_b, e, pairs.E, h=h, sigma=jnp.float32(1e-6),
+                          n_vehicles=N)
+        return D, C
+
+    D, C = jax.vmap(mk, out_axes=(0, None))(eta)
+    b = jnp.asarray(rng.normal(size=(B, K, n)), jnp.float32)
+    want = jax.vmap(lambda d, bb: solve_factorized_L(factorize_L(d, C), C,
+                                                     bb))(D, b)
+    Xp = pad_factors(jax.vmap(lambda d: factorize_X(d, C))(D))
+    got = np.asarray(jax.vmap(grouped_solver_X(2), in_axes=(0, None, 0))(
+        Xp, C, b))
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-4, rtol=1e-3)
+    # unbatched fallback
+    one = np.asarray(grouped_solver_X(2)(Xp[0], C, b[0]))
+    np.testing.assert_allclose(one, np.asarray(want[0]), atol=1e-4,
+                               rtol=1e-3)
+
+
+def test_scp_direct_X_form_end_to_end():
+    """Full SCP with the Newton-Schulz X-form factorization: trajectories
+    match the exact L-form path within SCP tolerance (interpret on CPU)."""
+    from ba_path_planning_tpu.solvers.scp import SCPEngine
+    from ba_path_planning_tpu.utils import ProblemConfig
+
+    problem = ProblemConfig(n_vehicles=3, time_horizon=2.0, time_step=0.2,
+                            min_distance=0.8, max_iterations=8,
+                            stop_mode="feasible")
+    p0 = np.array([[6.0, 10.0], [14.0, 10.0], [10.0, 6.0]])
+    pf = np.array([[14.0, 10.1], [6.0, 9.9], [10.0, 14.0]])
+    v0 = np.zeros((3, 2))
+
+    def run(**kw):
+        cfg = SolverConfig(method="direct", adaptive_rho=False, polish=False,
+                           max_iter=40, check_interval=40, rho=1.6,
+                           collision_margin=0.05, group=2, **kw)
+        eng = SCPEngine(problem, cfg, dtype=jnp.float32)
+        b0 = np.stack([p0, p0 + 0.1])
+        bf = np.stack([pf, pf - 0.1])
+        bv = np.zeros((2, 3, 2))
+        keys = jax.random.split(jax.random.key(0), 2)
+        return eng.solve_batch(b0, bv, bf, bv, keys)
+
+    base = run()
+    xf = run(factor_form="X", ns_iters=3)
+    assert np.asarray(xf.feasible_final).all()
+    np.testing.assert_allclose(np.asarray(xf.positions),
+                               np.asarray(base.positions), atol=1e-3)
