@@ -91,3 +91,45 @@ def test_position_generator_cli(tmp_path):
                "--out", str(out)])
     assert rc == 0
     assert out.exists()
+
+
+def test_collision_net_train_and_roundtrip(tmp_path):
+    """train-network CLI end-to-end on a tiny problem: trains, evaluates,
+    saves; params reload bit-exactly and predict identically.
+    (Implements the reference's intended-but-missing train-network script,
+    reference pyproject.toml:57.)"""
+    import jax
+    import jax.numpy as jnp
+    from ba_path_planning_tpu.cli.train_collision_network import main
+    from ba_path_planning_tpu.models.collision_net import (
+        CollisionNet, load_params, make_train_state, predict_logits,
+        save_params)
+
+    out = tmp_path / "cnet.npz"
+    rc = main(["--n-vehicles", "3", "--samples", "96", "--label-chunk", "48",
+               "--batch-size", "32", "--epochs", "3", "--time-horizon",
+               "2.0", "--min-distance", "0.6", "--out", str(out)])
+    assert rc == 0
+    assert out.exists()
+
+    params, _, apply_fn, _ = make_train_state(jax.random.key(1), 3)
+    save_params(str(tmp_path / "p.npz"), params)
+    params2 = load_params(str(tmp_path / "p.npz"), params)
+    p0 = jnp.asarray(np.random.default_rng(0).uniform(2, 18, (4, 3, 2)),
+                     jnp.float32)
+    pf = jnp.asarray(np.random.default_rng(1).uniform(2, 18, (4, 3, 2)),
+                     jnp.float32)
+    l1 = predict_logits(params, p0, pf, apply_fn=apply_fn)
+    l2 = predict_logits(params2, p0, pf, apply_fn=apply_fn)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_plot_collisions_cli(tmp_path):
+    """plot-collisions CLI: solves a small batch and writes the analysis
+    figure (reference's intended plot-collisions script, pyproject.toml:55)."""
+    from ba_path_planning_tpu.viz.plot_collisions import main
+    out = tmp_path / "col.png"
+    rc = main(["--n-vehicles", "3", "--trials", "4", "--time-horizon", "2.0",
+               "--min-distance", "0.6", "--out-path", str(out)])
+    assert rc == 0
+    assert out.exists()
