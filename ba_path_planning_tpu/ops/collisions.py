@@ -23,10 +23,17 @@ FEAS_SLACK = 0.01       # scp.py:610
 
 
 class PairIndex(NamedTuple):
-    """Static pair bookkeeping for N vehicles."""
+    """Static pair bookkeeping for N vehicles.
+
+    ``valid`` is None for the dense all-pair index; the pair-sharded path
+    (``parallel.pair_sharded``) pads P up to the shard count and marks pad
+    pairs invalid — their E columns are zero (no force contribution) and
+    their collision bounds are forced to -inf (rows inert).
+    """
     i_idx: jnp.ndarray  # (P,) int32, first vehicle of each pair
     j_idx: jnp.ndarray  # (P,) int32, second vehicle
     E: jnp.ndarray      # (N, P) signed incidence (float)
+    valid: jnp.ndarray | None = None   # (P,) bool, None = all valid
 
 
 def make_pair_index(n_vehicles: int, dtype=jnp.float32) -> PairIndex:
@@ -64,8 +71,17 @@ def linearize(prev_positions: jnp.ndarray, pairs: PairIndex,
     degen = dist < DEGENERATE_EPS
 
     # Deterministic replacement for np.random.uniform(0, 2*pi) at scp.py:505.
-    angle = jax.random.uniform(key, dist.shape, dtype=diff.dtype,
-                               maxval=2.0 * jnp.pi)
+    # The key is folded with the GLOBAL pair id (not drawn over the local
+    # (K, P) shape) so the stream is invariant to pair layout — a
+    # pair-sharded solve (parallel/pair_sharded.py) draws the same
+    # degenerate directions as the unsharded engine.
+    pair_id = (pairs.i_idx.astype(jnp.uint32) * jnp.uint32(65536)
+               + pairs.j_idx.astype(jnp.uint32))
+    pair_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(pair_id)
+    angle = jax.vmap(
+        lambda k_: jax.random.uniform(k_, dist.shape[:-1], dtype=diff.dtype,
+                                      maxval=2.0 * jnp.pi),
+        out_axes=-1)(pair_keys)
     eta_rand = jnp.stack([jnp.cos(angle), jnp.sin(angle)], axis=-1)
 
     safe_dist = jnp.where(degen, 1.0, dist)
@@ -101,19 +117,33 @@ def collision_lower_bounds(eta: jnp.ndarray, dist: jnp.ndarray,
 
 
 def check_feasible(positions: jnp.ndarray, pairs: PairIndex,
-                   min_distance: float) -> jnp.ndarray:
+                   min_distance: float,
+                   axis_name: str | None = None) -> jnp.ndarray:
     """True iff all pairwise distances >= R - 0.01 at every timestep (scp.py:597-615).
 
-    positions: (..., N, K, 2) -> bool of shape (...).
+    positions: (..., N, K, 2) -> bool of shape (...).  ``axis_name``:
+    all-reduce over a pair-sharded mesh axis (pad pairs are ignored via
+    ``pairs.valid``).
     """
     diff = pairwise_diffs(positions, pairs)
     dist2 = jnp.sum(diff * diff, axis=-1)
+    if pairs.valid is not None:
+        dist2 = jnp.where(pairs.valid, dist2, jnp.inf)
     thresh = min_distance - FEAS_SLACK
-    return jnp.all(dist2 >= thresh * thresh, axis=(-2, -1))
+    ok = jnp.all(dist2 >= thresh * thresh, axis=(-2, -1))
+    if axis_name is not None:
+        ok = jax.lax.pmin(ok.astype(jnp.int32), axis_name) > 0
+    return ok
 
 
-def min_pairwise_distance(positions: jnp.ndarray, pairs: PairIndex) -> jnp.ndarray:
+def min_pairwise_distance(positions: jnp.ndarray, pairs: PairIndex,
+                          axis_name: str | None = None) -> jnp.ndarray:
     """Minimum pairwise distance over all timesteps: (..., N, K, 2) -> (...)."""
     diff = pairwise_diffs(positions, pairs)
     dist2 = jnp.sum(diff * diff, axis=-1)
-    return jnp.sqrt(jnp.min(dist2, axis=(-2, -1)))
+    if pairs.valid is not None:
+        dist2 = jnp.where(pairs.valid, dist2, jnp.inf)
+    out = jnp.min(dist2, axis=(-2, -1))
+    if axis_name is not None:
+        out = jax.lax.pmin(out, axis_name)
+    return jnp.sqrt(out)

@@ -90,9 +90,12 @@ def _tmap(f, *ts):
     return jax.tree.map(f, *ts)
 
 
-def _inf_norm(t) -> jnp.ndarray:
+def _inf_norm(t, axis_name: str | None = None) -> jnp.ndarray:
     leaves = [jnp.max(jnp.abs(v)) for v in jax.tree.leaves(t) if v.size > 0]
-    return jnp.max(jnp.stack(leaves))
+    out = jnp.max(jnp.stack(leaves))
+    if axis_name is not None:
+        out = jax.lax.pmax(out, axis_name)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -127,7 +130,8 @@ def apply_A(xv: StateVars, eta, E, h: float) -> RowVals:
                    pbox=p, col=col)
 
 
-def apply_AT(y: RowVals, eta, E, h: float) -> StateVars:
+def apply_AT(y: RowVals, eta, E, h: float,
+             axis_name: str | None = None) -> StateVars:
     K = y.acc.shape[-2]
     pad = [(0, 0)] * (y.jerk.ndim - 2) + [(1, 1), (0, 0)]
     yj = jnp.pad(y.jerk, pad)
@@ -144,7 +148,10 @@ def apply_AT(y: RowVals, eta, E, h: float) -> StateVars:
     w = y.col[..., None] * eta                                # (..., K, P, 2)
     w_shift = jnp.concatenate(
         [w[..., 1:, :, :], jnp.zeros_like(w[..., 0:1, :, :])], axis=-3)
-    p = p + jnp.einsum('np,...kpc->...nkc', E, w_shift, precision=_HP)
+    p_col = jnp.einsum('np,...kpc->...nkc', E, w_shift, precision=_HP)
+    if axis_name is not None:      # pair-sharded: sum shard contributions
+        p_col = jax.lax.psum(p_col, axis_name)
+    p = p + p_col
 
     # v[k] receives: -h dyn_p[k] (k<=K-1), +dyn_v[k-1], -dyn_v[k], vbox
     dyn_v_next = jnp.concatenate(
@@ -218,6 +225,8 @@ def collision_lower_bounds_state(eta, dist, prev_positions, pairs: PairIndex,
     dprev = pairwise_diffs(prev_positions, pairs)
     lin = jnp.sum(eta * dprev, axis=-1) - dist
     l = min_distance + lin
+    if pairs.valid is not None:                  # pad pairs -> inert rows
+        l = jnp.where(pairs.valid, l, -jnp.inf)
     neg_inf = jnp.full_like(l[..., 0:1, :], -jnp.inf)
     return jnp.concatenate([neg_inf, l[..., 1:, :]], axis=-2)
 
@@ -426,33 +435,39 @@ def assemble_skeleton(rho: RowVals, *, h: float, sigma, n_vehicles: int):
     return D, s
 
 
-def collision_blocks(rho_col, eta, E) -> jnp.ndarray:
+def collision_blocks(rho_col, eta, E, axis_name: str | None = None
+                     ) -> jnp.ndarray:
     """Per-scenario collision contributions to the p-p slot of D.
 
     Collision rows at time k touch p_k, which lives on the p-slot of
     super-block u_{k-1}; returns (K, 2N, 2N) already shifted so entry k adds
     onto D_k (last entry zero).  G_k = E x eta_k per (scp.py:489-534 algebra).
+    ``axis_name``: psum partial normal-equation blocks over a pair-sharded
+    mesh axis (SURVEY 2.3, agent-pair parallelism).
     """
     K = eta.shape[-3]
     G = jnp.einsum('np,kpc->kncp', E, eta).reshape(K, -1, E.shape[1])
     colM = jnp.einsum('kip,kp,kjp->kij', G, rho_col, G, precision=_HP)
+    if axis_name is not None:
+        colM = jax.lax.psum(colM, axis_name)
     return jnp.concatenate([colM[1:], jnp.zeros_like(colM[:1])], axis=0)
 
 
-def assemble_D(rho: RowVals, eta, E, *, h: float, sigma, n_vehicles: int):
+def assemble_D(rho: RowVals, eta, E, *, h: float, sigma, n_vehicles: int,
+               axis_name: str | None = None):
     """Diagonal blocks D (K, 6N, 6N) + slot-scalar off-diagonals
     C (K-1, 3, 3) — the dense-B-free form for :func:`factorize_L`."""
     N = n_vehicles
     n2 = 2 * N
     D, s = assemble_skeleton(rho, h=h, sigma=sigma, n_vehicles=N)
     D = D + 0.0
-    colM_pad = collision_blocks(rho.col, eta, E)
+    colM_pad = collision_blocks(rho.col, eta, E, axis_name)
     D = D.at[:, n2:2 * n2, n2:2 * n2].add(colM_pad)
     return D, b_slot_mats(s)
 
 
 def assemble_blocks(rho: RowVals, eta, E, *, h: float, sigma,
-                    n_vehicles: int):
+                    n_vehicles: int, axis_name: str | None = None):
     """Build D (K, 6N, 6N) and B (K-1, 6N, 6N) for one scenario.
 
     ``rho`` leaves carry per-row rho; static rows are per-(k) scalars
@@ -464,7 +479,7 @@ def assemble_blocks(rho: RowVals, eta, E, *, h: float, sigma,
 
     D, s = assemble_skeleton(rho, h=h, sigma=sigma, n_vehicles=N)
     D = D + 0.0  # ensure own buffer before the in-place add
-    colM_pad = collision_blocks(rho.col, eta, E)
+    colM_pad = collision_blocks(rho.col, eta, E, axis_name)
     D = D.at[:, n2:2 * n2, n2:2 * n2].add(colM_pad)
 
     # B_k: rows u_k, cols u_{k-1}, k = 1..K-1
@@ -948,7 +963,8 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
                    params: SolverParams, E, *, h: float,
                    static: SolverStatic, n_vehicles: int,
                    y_init: RowVals | None = None,
-                   col_enabled: bool = True) -> StateQPResult:
+                   col_enabled: bool = True,
+                   axis_name: str | None = None) -> StateQPResult:
     """One ADMM solve in state space for a single scenario.
 
     Collision rows are controlled entirely through ``lower.col`` (-inf rows
@@ -1019,7 +1035,8 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
             # per ADMM iteration.  Lane-padded once for the DMA alignment
             # rule (group_solve.pad_factors).
             from ..ops.pallas.group_solve import pad_factors
-            D, C = assemble_D(rho_b, eta, E, h=h, sigma=sigma, n_vehicles=N)
+            D, C = assemble_D(rho_b, eta, E, h=h, sigma=sigma,
+                              n_vehicles=N, axis_name=axis_name)
             if static.factor_form == "X":
                 F = factorize_X(D, C, ns_iters=static.ns_iters,
                                 ns_anchor=static.ns_anchor)
@@ -1029,7 +1046,7 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
                 F = F.astype(jnp.bfloat16)
             return rho_b, pad_factors(F), C
         D, B = assemble_blocks(rho_b, eta, E, h=h, sigma=sigma,
-                               n_vehicles=N)
+                               n_vehicles=N, axis_name=axis_name)
         L, Eb = factorize(D, B)
         if static.factor_dtype == "bf16":
             L, Eb = compress_factors(L, Eb, jnp.bfloat16)
@@ -1037,7 +1054,7 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
 
     def admm_iter(x, z, y, rho_b, L, Eb):
         rzy = _tmap(lambda zz, yy, rr: rr * zz - yy, z, y, rho_b)
-        b_sv = apply_AT(rzy, eta, E, h)
+        b_sv = apply_AT(rzy, eta, E, h, axis_name)
         b_sv = _tmap(lambda bb, xx: bb + sigma * xx, b_sv, x)
         if use_channel:
             sb = to_stacked(b_sv)
@@ -1076,13 +1093,14 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
         Ax = apply_A(x, eta, E, h)
         dAx = _tmap(lambda a, d_: a * d_, Ax, scaling)
         dz = _tmap(lambda a, d_: a * d_, z, scaling)
-        prim = _inf_norm(_tmap(lambda a, b_: a - b_, dAx, dz))
-        ATy = apply_AT(y, eta, E, h)
+        prim = _inf_norm(_tmap(lambda a, b_: a - b_, dAx, dz), axis_name)
+        ATy = apply_AT(y, eta, E, h, axis_name)
         dual_vec = _tmap(lambda px, at: px + at,
                          StateVars(a=2.0 * x.a, p=jnp.zeros_like(x.p),
                                    v=jnp.zeros_like(x.v)), ATy)
         dual = _inf_norm(dual_vec)
-        prim_scale = jnp.maximum(_inf_norm(dAx), _inf_norm(dz))
+        prim_scale = jnp.maximum(_inf_norm(dAx, axis_name),
+                                 _inf_norm(dz, axis_name))
         dual_scale = jnp.maximum(2.0 * jnp.max(jnp.abs(x.a)), _inf_norm(ATy))
         eps_prim = params.eps_abs + params.eps_rel * prim_scale
         eps_dual = params.eps_abs + params.eps_rel * dual_scale

@@ -387,7 +387,7 @@ class SCPCarry(NamedTuple):
 
 def _direct_body(p0, v0, key, lower_s, upper_s, *, params: SolverParams,
                  pairs: PairIndex, problem: ProblemConfig,
-                 solver: SolverStatic):
+                 solver: SolverStatic, axis_name: str | None = None):
     """One SCP iteration of the direct (state-space) path as a function of
     :class:`SCPCarry` — shared by the monolithic solve and the resumable
     step so their semantics cannot drift."""
@@ -409,7 +409,8 @@ def _direct_body(p0, v0, key, lower_s, upper_s, *, params: SolverParams,
         lower_it = lower_s._replace(col=col_lo)
         x_warm = _warm_state(a, p0, v0, h)
         qp = solve_qp_state(lower_it, upper_s, eta, x_warm, params, pairs.E,
-                            h=h, static=solver, n_vehicles=N, y_init=carry.y)
+                            h=h, static=solver, n_vehicles=N, y_init=carry.y,
+                            axis_name=axis_name)
         a_new = qp.x.a
         # Divergence guard: an infeasible linearization can blow the ADMM
         # iterates up (the dual grows unboundedly).  Any valid QP solution
@@ -427,7 +428,7 @@ def _direct_body(p0, v0, key, lower_s, upper_s, *, params: SolverParams,
         converged = rel_step <= problem.convergence_tolerance
         if goal_feasible:
             new_pos, _ = rollout(a_new, p0, v0, h)
-            stop = check_feasible(new_pos, pairs, R)
+            stop = check_feasible(new_pos, pairs, R, axis_name)
         else:
             stop = converged
         return SCPCarry(a=a_new, y=qp.y, it=carry.it + 1,
@@ -446,17 +447,18 @@ def _direct_cond(carry: SCPCarry, it_cap) -> jnp.ndarray:
                         jnp.logical_not(carry.feasible_initial)))
 
 
-@partial(jax.jit, static_argnames=("problem", "solver"))
+@partial(jax.jit, static_argnames=("problem", "solver", "axis_name"))
 def _scp_start_direct(p0, v0, pf, vf, key, *, params: SolverParams,
                       pairs: PairIndex, problem: ProblemConfig,
-                      solver: SolverStatic) -> SCPCarry:
+                      solver: SolverStatic,
+                      axis_name: str | None = None) -> SCPCarry:
     """Phase 1 of the direct path: initial collision-free QP + feasibility
     pre-check (scp.py:138-144), as a resumable carry."""
     from .banded import build_bounds, solve_qp_state
 
     N = problem.n_vehicles
     K = problem.n_steps
-    P = problem.n_pairs
+    P = pairs.E.shape[1]      # shard-local pair count under pair sharding
     h = problem.time_step
     R = problem.min_distance
     dtype = p0.dtype
@@ -470,22 +472,23 @@ def _scp_start_direct(p0, v0, pf, vf, key, *, params: SolverParams,
     # batch-independent, so vmap computes it once for the whole batch
     x0 = _warm_state(jnp.zeros((N, K, 2), dtype=dtype), p0, v0, h)
     qp0 = solve_qp_state(lower_s, upper_s, eta0, x0, params, pairs.E, h=h,
-                         static=solver, n_vehicles=N, col_enabled=False)
+                         static=solver, n_vehicles=N, col_enabled=False,
+                         axis_name=axis_name)
     a = qp0.x.a
 
     pos_init, _ = rollout(a, p0, v0, h)
-    feasible_initial = check_feasible(pos_init, pairs, R)
+    feasible_initial = check_feasible(pos_init, pairs, R, axis_name)
     return SCPCarry(a=a, y=qp0.y, it=jnp.int32(0), converged=jnp.asarray(False),
                     stop=jnp.asarray(False),
                     rel=jnp.asarray(jnp.inf, dtype), qp_iters=qp0.iters,
                     qp_ok=qp0.converged, feasible_initial=feasible_initial)
 
 
-@partial(jax.jit, static_argnames=("problem", "solver"))
+@partial(jax.jit, static_argnames=("problem", "solver", "axis_name"))
 def _scp_step_direct(carry: SCPCarry, p0, v0, pf, vf, key, it_cap, *,
                      params: SolverParams, pairs: PairIndex,
-                     problem: ProblemConfig,
-                     solver: SolverStatic) -> SCPCarry:
+                     problem: ProblemConfig, solver: SolverStatic,
+                     axis_name: str | None = None) -> SCPCarry:
     """Run SCP iterations from ``carry`` until the stopping rule fires or
     ``carry.it`` reaches ``min(it_cap, problem.max_iterations)``.
 
@@ -494,24 +497,28 @@ def _scp_step_direct(carry: SCPCarry, p0, v0, pf, vf, key, it_cap, *,
     recompiling."""
     from .banded import build_bounds
 
-    N, K, P = problem.n_vehicles, problem.n_steps, problem.n_pairs
+    N, K = problem.n_vehicles, problem.n_steps
+    P = pairs.E.shape[1]
     lower_s, upper_s = build_bounds(p0, v0, pf, vf, n_vehicles=N, n_steps=K,
                                     h=problem.time_step,
                                     limits=problem.limits, n_pairs=P)
     body = _direct_body(p0, v0, key, lower_s, upper_s, params=params,
-                        pairs=pairs, problem=problem, solver=solver)
+                        pairs=pairs, problem=problem, solver=solver,
+                        axis_name=axis_name)
     cap = jnp.minimum(jnp.asarray(it_cap, jnp.int32),
                       jnp.int32(problem.max_iterations))
     return jax.lax.while_loop(lambda c: _direct_cond(c, cap), body, carry)
 
 
-@partial(jax.jit, static_argnames=("problem",))
+@partial(jax.jit, static_argnames=("problem", "axis_name"))
 def _scp_finalize_direct(carry: SCPCarry, p0, v0, *, pairs: PairIndex,
-                         problem: ProblemConfig) -> SCPResult:
+                         problem: ProblemConfig,
+                         axis_name: str | None = None) -> SCPResult:
     """Final rollout + status codes from a finished carry (scp.py:168-180)."""
     h = problem.time_step
     positions, velocities = rollout(carry.a, p0, v0, h)
-    feasible_final = check_feasible(positions, pairs, problem.min_distance)
+    feasible_final = check_feasible(positions, pairs, problem.min_distance,
+                                    axis_name)
     # status reflects the active stopping rule: in "feasible" mode, stopping
     # early means the trajectory went collision-free; in "reference" mode it
     # means step-norm convergence (scp.py:161)
