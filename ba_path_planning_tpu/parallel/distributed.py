@@ -83,16 +83,24 @@ def scaling_report(problem: ProblemConfig,
         mesh = make_mesh(devices)
         B = per_chip_batch * len(devices)
         solver_sh = ShardedSCPSolver(problem, solver, mesh=mesh, dtype=dtype)
-        sc = generate_scenario_batch(jax.random.key(seed), B,
-                                     n_vehicles=problem.n_vehicles,
-                                     min_distance=problem.min_distance)
         v0 = jnp.zeros((B, problem.n_vehicles, 2), dtype)
-        keys = jax.random.split(jax.random.key(seed + 1), B)
-        res = solver_sh.solve(sc.initial, v0, sc.final, v0, keys)
-        jax.block_until_ready(res)          # compile + warmup
+
+        def run(s):
+            sc = generate_scenario_batch(jax.random.key(s), B,
+                                         n_vehicles=problem.n_vehicles,
+                                         min_distance=problem.min_distance)
+            keys = jax.random.split(jax.random.key(s + 1), B)
+            res = solver_sh.solve(sc.initial, v0, sc.final, v0, keys)
+            # the remote tunnel does not synchronize on block_until_ready;
+            # force a small transfer
+            np.asarray(res.feasible_final)
+            return res
+
+        run(seed)                           # compile + warmup
+        # FRESH scenarios for the timed run — identical repeated dispatches
+        # are served from the runtime cache
         t0 = time.perf_counter()
-        res = solver_sh.solve(sc.initial, v0, sc.final, v0, keys)
-        jax.block_until_ready(res)
+        res = run(seed + 100)
         dt = time.perf_counter() - t0
         ok = int(np.asarray(res.feasible_final).sum())
         out["configs"][label] = {

@@ -125,12 +125,17 @@ class ShardedSCPSolver:
         sh = self.sharding
         max_iters = self.engine.problem.max_iterations
 
-        start_c = jax.jit(jax.vmap(start), out_shardings=sh)
         finalize_c = jax.jit(jax.vmap(finalize), out_shardings=sh)
 
         def active_flags(carry):
             return (~carry.stop & ~carry.feasible_initial
                     & (carry.it < max_iters))
+
+        def start_with_flags(*args):
+            carry = jax.vmap(start)(*args)
+            return carry, active_flags(carry)
+
+        start_c = jax.jit(start_with_flags, out_shardings=(sh, sh))
 
         # gather active lanes + SCP step + scatter back + next active mask,
         # all in ONE dispatch: the remote tunnel charges a round-trip per
@@ -145,7 +150,6 @@ class ShardedSCPSolver:
             return new, active_flags(new)
 
         step_c = jax.jit(fused, out_shardings=(sh, sh), donate_argnums=0)
-        flags_c = jax.jit(active_flags, out_shardings=sh)
 
         # tail dispatch size: late compaction rounds have few active lanes,
         # so padding them to the full chunk wastes most of the dispatch — a
@@ -156,7 +160,7 @@ class ShardedSCPSolver:
             tail_chunk = tail
         else:
             tail_chunk = chunk
-        self._compact = (start_c, step_c, finalize_c, flags_c, chunk,
+        self._compact = (start_c, step_c, finalize_c, chunk,
                          tail_chunk)
         return self._compact
 
@@ -197,20 +201,23 @@ class ShardedSCPSolver:
         keys = jax.device_put(keys, self.sharding)
 
         compact = getattr(self, "_compact", None)
-        if compact is None or compact[4] != chunk:
+        if compact is None or compact[3] != chunk:
             compact = self._build_compacted(chunk)
-        start_c, step_c, finalize_c, flags_c, _, tail_chunk = compact
+        start_c, step_c, finalize_c, _, tail_chunk = compact
 
         args = (p0, v0, pf, vf, keys)
         si = jnp.int32(step_iters)
 
-        # phase 1 over the full batch, chunk by chunk
-        carries = []
+        # phase 1 over the full batch, chunk by chunk (flags ride along in
+        # the same dispatch — the tunnel charges a round-trip per call)
+        carries, flag_parts = [], []
         for lo in range(0, B, chunk):
-            carries.append(start_c(*jax.tree.map(
-                lambda x: x[lo:lo + chunk], args)))
+            c, f = start_c(*jax.tree.map(
+                lambda x: x[lo:lo + chunk], args))
+            carries.append(c)
+            flag_parts.append(f)
         carry = jax.tree.map(lambda *xs: jnp.concatenate(xs), *carries)
-        flags = flags_c(carry)
+        flags = jnp.concatenate(flag_parts)
 
         def dispatch(idx, size):
             if idx.size < size:        # pad by repeating active lanes

@@ -39,7 +39,7 @@ def main():
 
     devices = jax.devices()
     n_dev = len(devices)
-    batch = int(512 * n_dev)
+    batch = int(1024 * n_dev)
 
     mesh = make_mesh(devices)
     sh = ShardedSCPSolver(problem, solver, mesh=mesh, dtype=jnp.float32)
@@ -48,8 +48,11 @@ def main():
     # fixed-size chunk dispatches (each stays well under the runtime's
     # execution deadline); after every iteration round the still-active
     # lanes are packed densely, so total QP work tracks the MEAN per-lane
-    # iteration count instead of the per-chunk maximum
-    chunk = 128 * n_dev
+    # iteration count instead of the per-chunk maximum.  Chunk 512/chip:
+    # the remote tunnel charges ~25-35 ms per dispatch, so at the current
+    # per-scenario solve speed dispatch count dominates — swept at
+    # scripts/chunk_sweep.py (128: 669, 256: 673, 512@B1024: 775 solves/s)
+    chunk = 512 * n_dev
     v0 = jnp.zeros((batch, problem.n_vehicles, 2), jnp.float32)
 
     def run(seed):

@@ -191,3 +191,51 @@ def test_reference_demo_scenario_nondefault_space():
     assert np.abs(np.asarray(res.velocities)).max() <= 2.0 + 1.0
     d01 = np.linalg.norm(pos[0] - pos[1], axis=-1).min()
     assert d01 >= 0.5 - 0.01
+
+
+def test_batch_property_constraints_hold():
+    """SURVEY section 5 property tests over randomized generator scenarios:
+    every returned trajectory satisfies the box constraints, terminal
+    equalities (to solver tolerance), and — when flagged feasible — the
+    pairwise safety distance at the reference's R - 0.01 slack."""
+    from ba_path_planning_tpu.scenarios import generate_scenario_batch
+    from ba_path_planning_tpu.ops.collisions import (make_pair_index,
+                                                     min_pairwise_distance)
+
+    # horizon must make the generator's travel distances reachable:
+    # vmax * T = 20 m covers the 20x20 layout (T=6 would be infeasible and
+    # the least-violation QP solution then breaks the boxes by design)
+    N, B, R, h = 5, 8, 0.8, 0.4
+    problem = ProblemConfig(n_vehicles=N, time_horizon=10.0, time_step=h,
+                            min_distance=R, max_iterations=10,
+                            stop_mode="feasible")
+    cfg = SolverConfig(method="direct", adaptive_rho=False, polish=False,
+                       max_iter=120, check_interval=40, rho=1.6,
+                       collision_margin=0.05)
+    eng = SCPEngine(problem, cfg, dtype=jnp.float64)
+    sc = generate_scenario_batch(jax.random.key(2), B, n_vehicles=N,
+                                 min_distance=R)
+    v0 = jnp.zeros((B, N, 2), jnp.float64)
+    keys = jax.random.split(jax.random.key(3), B)
+    res = eng.solve_batch(sc.initial, v0, sc.final, v0, keys)
+
+    acc = np.asarray(res.accelerations)
+    vel = np.asarray(res.velocities)
+    pos = np.asarray(res.positions)
+    tol = 5e-3
+    assert np.all(np.abs(acc) <= 15.0 + tol)
+    assert np.all(np.abs(vel) <= 2.0 + tol)
+    assert np.all(np.abs(np.diff(acc, axis=2) / h) <= 20.0 + tol)
+    assert pos.min() >= -tol and pos.max() <= 20.0 + tol
+    # terminal equalities on p[K], v[K] (one step past the last index)
+    pK = pos[:, :, -1] + h * vel[:, :, -1] + 0.5 * h * h * acc[:, :, -1]
+    vK = vel[:, :, -1] + h * acc[:, :, -1]
+    np.testing.assert_allclose(pK, np.asarray(sc.final), atol=1e-3)
+    np.testing.assert_allclose(vK, 0.0, atol=1e-3)
+    # feasible flag consistent with the actual min pairwise distance
+    pairs = make_pair_index(N, dtype=jnp.float64)
+    dmin = np.asarray(jax.vmap(lambda p: min_pairwise_distance(p, pairs))(
+        jnp.asarray(pos)))
+    feas = np.asarray(res.feasible_final)
+    assert np.all(dmin[feas] >= R - 0.01 - 1e-9)
+    assert feas.sum() >= B - 2     # production-style config solves most
