@@ -39,7 +39,7 @@ def main():
 
     devices = jax.devices()
     n_dev = len(devices)
-    batch = int(1024 * n_dev)
+    batch = int(4096 * n_dev)
 
     mesh = make_mesh(devices)
     sh = ShardedSCPSolver(problem, solver, mesh=mesh, dtype=jnp.float32)
