@@ -188,7 +188,8 @@ class SolverConfig:
                 pallas = False
         return cls(method="direct", pallas=pallas, rho=2.2, max_iter=35,
                    check_interval=35, collision_margin=0.10, polish=False,
-                   adaptive_rho=False, factor_form="X", ns_iters=3)
+                   adaptive_rho=False, factor_form="X", ns_iters=3,
+                   alpha=1.9)
 
 
 def load_yaml(path: str) -> dict[str, Any]:

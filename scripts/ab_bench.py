@@ -22,7 +22,7 @@ from ba_path_planning_tpu.parallel.mesh import ShardedSCPSolver, make_mesh
 from ba_path_planning_tpu.scenarios import generate_scenario_batch
 from ba_path_planning_tpu.utils import ProblemConfig, SolverConfig
 
-B = 512
+B = 1024
 problem = ProblemConfig(n_vehicles=20, time_horizon=10.0, time_step=0.2,
                         min_distance=0.8, max_iterations=15,
                         stop_mode="feasible")
@@ -39,7 +39,7 @@ def run_variant(name, solver, seeds=(100, 200)):
                                      min_distance=problem.min_distance)
         keys = jax.random.split(jax.random.key(seed + 1), B)
         out = sh.solve_compacted(sc.initial, v0, sc.final, v0, keys,
-                                 chunk=128)
+                                 chunk=512)
         np.asarray(out.feasible_final)
         return out
 
