@@ -187,9 +187,9 @@ class SolverConfig:
             except Exception:
                 pallas = False
         return cls(method="direct", pallas=pallas, rho=2.2, max_iter=35,
-                   check_interval=35, collision_margin=0.10, polish=False,
+                   check_interval=35, collision_margin=0.13, polish=False,
                    adaptive_rho=False, factor_form="X", ns_iters=3,
-                   alpha=1.9)
+                   alpha=1.9, col_rho_boost=2.0)
 
 
 def load_yaml(path: str) -> dict[str, Any]:
