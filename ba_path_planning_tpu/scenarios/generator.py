@@ -84,13 +84,20 @@ def _sample_final_point(key, dtype):
 
 
 def _fill_positions(key, sample_fn, n_vehicles: int, min_distance: float,
-                    max_attempts: int, dtype):
+                    max_attempts: int, dtype, unroll: int = 8):
     """Sequential rejection fill of one position set, as a lax.while_loop.
 
     Mirrors the reference's loop semantics exactly: one candidate per attempt,
     accepted iff >= min_distance from every already-accepted point in the SAME
     set; stop at n accepted or max_attempts candidates
     (position_generator.py:52-59).
+
+    ``unroll`` candidates are processed per while_loop trip (inactive steps
+    are masked out), cutting the serial step count ~unroll-fold: under vmap
+    the loop runs to the batch-max attempt count in lockstep, and each trip
+    is a tiny VPU kernel whose dispatch latency dominates.  The PRNG key
+    chain and acceptance sequence are identical to the unroll=1 form, so
+    generated scenarios are bit-identical for a given key.
     """
     N = n_vehicles
     big = jnp.asarray(1e6, dtype)   # placeholder far away from the box
@@ -101,16 +108,20 @@ def _fill_positions(key, sample_fn, n_vehicles: int, min_distance: float,
 
     def body(carry):
         pts, count, attempts, key = carry
-        key, sub = jax.random.split(key)
-        cand = sample_fn(sub, dtype)
-        d2 = jnp.sum((pts - cand) ** 2, axis=-1)
-        valid_mask = jnp.arange(N) < count
-        min_d2 = jnp.min(jnp.where(valid_mask, d2, jnp.inf))
-        accept = min_d2 >= min_distance * min_distance
-        pts = jnp.where(
-            (jnp.arange(N) == count)[:, None] & accept, cand, pts)
-        count = count + accept.astype(count.dtype)
-        return pts, count, attempts + 1, key
+        for _ in range(unroll):
+            active = jnp.logical_and(count < N, attempts < max_attempts)
+            key, sub = jax.random.split(key)
+            cand = sample_fn(sub, dtype)
+            d2 = jnp.sum((pts - cand) ** 2, axis=-1)
+            valid_mask = jnp.arange(N) < count
+            min_d2 = jnp.min(jnp.where(valid_mask, d2, jnp.inf))
+            accept = jnp.logical_and(min_d2 >= min_distance * min_distance,
+                                     active)
+            pts = jnp.where(
+                (jnp.arange(N) == count)[:, None] & accept, cand, pts)
+            count = count + accept.astype(count.dtype)
+            attempts = attempts + active.astype(attempts.dtype)
+        return pts, count, attempts, key
 
     pts0 = jnp.full((N, 2), big, dtype=dtype)
     pts, count, _, _ = jax.lax.while_loop(

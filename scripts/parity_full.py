@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark-scale reference parity: N=18 and N=20 at the reference batch
+config (K=50, h=0.2, R=0.8 — compute_trajectories_batch.py:14-24).
+
+Runs the independent dense float64 oracle (tests/oracles/reference_math.py,
+OSQP-semantics ADMM + active-set polish, cross-validated against scipy
+trust-constr) and the TPU framework's SCP engine in reference mode on the
+same generator scenarios, and records the trajectory agreement to
+docs/PARITY.md.  ~0.5-1 h on the 2-core host; also runnable as
+``PARITY_FULL=1 pytest tests/test_parity_scale.py``.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+import jax
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+
+from oracles import reference_math as om
+from ba_path_planning_tpu.scenarios import generate_scenario_batch
+from ba_path_planning_tpu.solvers.scp import SCPEngine
+from ba_path_planning_tpu.utils import ProblemConfig, SolverConfig
+
+K, h, R = 50, 0.2, 0.8
+CASES = [(18, 42), (20, 7)]
+
+
+def main():
+    rows = []
+    for N, seed in CASES:
+        sc = generate_scenario_batch(jax.random.key(seed), 1, n_vehicles=N,
+                                     min_distance=R, dtype=jnp.float64)
+        p0 = np.asarray(sc.initial[0], float)
+        pf = np.asarray(sc.final[0], float)
+        v0 = np.zeros((N, 2))
+
+        t0 = time.time()
+        ref = om.scp_solve(p0, v0, pf, v0, R=R, h=h, K=K, max_iterations=15,
+                           qp_solver="admm")
+        t_ref = time.time() - t0
+
+        problem = ProblemConfig(n_vehicles=N, time_horizon=K * h, time_step=h,
+                                min_distance=R, max_iterations=15)
+        cfg = SolverConfig(method="direct", eps_abs=1e-6, eps_rel=1e-6,
+                           max_iter=20000, check_interval=50)
+        eng = SCPEngine(problem, cfg, dtype=jnp.float64)
+        t0 = time.time()
+        res = eng.solve(p0, v0, pf, v0, key=jax.random.key(seed + 1))
+        pos = np.asarray(res.positions)
+        t_eng = time.time() - t0
+
+        dpos = float(np.max(np.abs(pos - ref["positions"])))
+        dvel = float(np.max(np.abs(np.asarray(res.velocities)
+                                   - ref["velocities"])))
+        row = dict(N=N, seed=seed, K=K,
+                   oracle_iters=ref["iterations"],
+                   engine_iters=int(res.iterations),
+                   oracle_converged=bool(ref["converged"]),
+                   engine_converged=bool(res.converged),
+                   feasible_initial=bool(ref["feasible_initial"]),
+                   max_pos_diff=dpos, max_vel_diff=dvel,
+                   within_1e3=bool(dpos <= 1e-3 and dvel <= 1e-3),
+                   oracle_s=round(t_ref, 1), engine_s=round(t_eng, 1))
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    with open("docs/parity_full.json", "w") as f:
+        json.dump(dict(config=dict(K=K, h=h, R=R, max_iterations=15,
+                                   tol=1.5e-2), cases=rows), f, indent=1)
+    ok = all(r["within_1e3"] for r in rows)
+    print("PARITY", "OK" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -198,12 +198,21 @@ def check_feasible(positions: np.ndarray, R: float) -> bool:
 def scp_solve(p0, v0, pf, vf, *, R, h, K, max_iterations=15, tol=1.5e-2,
               vel_min=-2.0, vel_max=2.0, acc_min=-15.0, acc_max=15.0,
               jerk_min=-20.0, jerk_max=20.0, pos_min=(0.0, 0.0),
-              pos_max=(20.0, 20.0), qp_tol=1e-10):
+              pos_max=(20.0, 20.0), qp_tol=1e-10, qp_solver="trust-constr"):
     """Oracle SCP: dense matrices + scipy QP, reference control flow.
 
+    ``qp_solver``: "trust-constr" (slow, small problems) or "admm" (dense
+    float64 OSQP-semantics ADMM + polish; benchmark-scale problems).
     Returns dict with positions/velocities/accelerations (N,K,2), iterations,
     converged, feasible_initial.
     """
+    if qp_solver == "admm":
+        # the active-set polish supplies machine precision; ADMM only needs
+        # to identify the active set, so 1e-6 residuals suffice
+        def solve(A, l, u, x0=None, tol=qp_tol):
+            return solve_qp_admm(A, l, u, x0, eps=max(tol, 1e-6))
+    else:
+        solve = solve_qp
     N = p0.shape[0]
     mats = static_dense_matrices(N, K, h)
     lo, up = static_bounds(p0, v0, pf, vf, K=K, h=h, vel_min=vel_min,
@@ -214,7 +223,7 @@ def scp_solve(p0, v0, pf, vf, *, R, h, K, max_iterations=15, tol=1.5e-2,
     l_s = np.concatenate([lo[k].reshape(-1) for k in ("jerk", "acc", "vel", "pos")])
     u_s = np.concatenate([up[k].reshape(-1) for k in ("jerk", "acc", "vel", "pos")])
 
-    x = solve_qp(A_s, l_s, u_s, tol=qp_tol)
+    x = solve(A_s, l_s, u_s, tol=qp_tol)
     a = unflatten(x, N, K)
     positions, _ = rollout(a, p0, v0, h)
     feasible_initial = check_feasible(positions, R)
@@ -227,7 +236,7 @@ def scp_solve(p0, v0, pf, vf, *, R, h, K, max_iterations=15, tol=1.5e-2,
         A = np.vstack([A_s, A_c])
         l = np.concatenate([l_s, l_c])
         u = np.concatenate([u_s, np.full(len(l_c), np.inf)])
-        x_new = solve_qp(A, l, u, x0=x, tol=qp_tol)
+        x_new = solve(A, l, u, x0=x, tol=qp_tol)
         rel = np.linalg.norm(x_new - x) / np.linalg.norm(x)
         if rel <= tol:
             converged = True
@@ -258,3 +267,107 @@ def solve_qp(A: np.ndarray, l: np.ndarray, u: np.ndarray,
                    method="trust-constr", constraints=[con],
                    options={"gtol": tol, "xtol": tol, "maxiter": 3000})
     return res.x
+
+
+# ---------------------------------------------------------------------------
+# Fast QP oracle for benchmark-scale parity tests: dense float64 ADMM with
+# OSQP update semantics (per-row rho, over-relaxation) + active-set polish
+# to machine precision.  Independent of both the JAX engine (numpy/LAPACK,
+# dense factors, no operator structure) and scipy's trust-constr path; the
+# two oracles are cross-checked against each other in the test suite.
+# ---------------------------------------------------------------------------
+
+def solve_qp_admm(A: np.ndarray, l: np.ndarray, u: np.ndarray,
+                  x0: np.ndarray | None = None, *, rho: float = 0.1,
+                  sigma: float = 1e-6, alpha: float = 1.6,
+                  eps: float = 1e-8, max_iter: int = 50000,
+                  polish: bool = True) -> np.ndarray:
+    """min x'x s.t. l <= Ax <= u, unique optimum (P = 2I, scp.py:329/407).
+
+    ADMM exactly in OSQP's form (the reference's backend, scp.py:326-365):
+    per-row rho with the 1e3 boost on equality rows, over-relaxed updates,
+    termination on primal/dual residuals.  A final active-set polish solves
+    the equality-constrained KKT system on the identified active rows, which
+    for this strictly convex objective recovers the exact optimum.
+    """
+    A = np.asarray(A, dtype=np.float64)
+    l = np.asarray(l, dtype=np.float64)
+    u = np.asarray(u, dtype=np.float64)
+    m, n = A.shape
+    eq = np.isclose(l, u)
+    x = np.zeros(n) if x0 is None else np.asarray(x0, dtype=np.float64).copy()
+    z = np.clip(A @ x, l, u)
+    y = np.zeros(m)
+
+    import scipy.linalg as sla
+
+    # M(rho) = (2+sigma) I + rho * G with G = A' diag(1 or 1e3) A computed
+    # once, so rho adaptation refactorizes in O(n^3) instead of O(m n^2)
+    G = (A.T * np.where(eq, 1e3, 1.0)) @ A
+
+    def factor(rho_val):
+        rv = np.full(m, rho_val)
+        rv[eq] = rho_val * 1e3
+        M = (2.0 + sigma) * np.eye(n) + rho_val * G
+        return rv, sla.cho_factor(M)
+
+    rho_vec, cf = factor(rho)
+    for it in range(max_iter):
+        rhs = sigma * x + A.T @ (rho_vec * z - y)
+        x_t = sla.cho_solve(cf, rhs)
+        z_t = A @ x_t
+        x_new = alpha * x_t + (1 - alpha) * x
+        z_mix = alpha * z_t + (1 - alpha) * z
+        z_new = np.clip(z_mix + y / rho_vec, l, u)
+        y = y + rho_vec * (z_mix - z_new)
+        x, z = x_new, z_new
+        if it % 25 == 24:
+            Ax = A @ x
+            Aty = A.T @ y
+            r_prim = np.max(np.abs(Ax - z))
+            r_dual = np.max(np.abs(2 * x + Aty))
+            scale_p = max(np.max(np.abs(Ax)), np.max(np.abs(z)), 1.0)
+            scale_d = max(np.max(np.abs(2 * x)), np.max(np.abs(Aty)), 1.0)
+            if r_prim <= eps * scale_p and r_dual <= eps * scale_d:
+                break
+            # OSQP-style residual-balancing rho adaptation (refactorize only
+            # on a > 5x change, every 100 iterations at most)
+            if it % 100 == 99:
+                ratio = (r_prim / scale_p) / max(r_dual / scale_d, 1e-16)
+                rho_new = float(np.clip(rho * np.sqrt(ratio), 1e-6, 1e6))
+                if rho_new > 5 * rho or rho_new < rho / 5:
+                    rho = rho_new
+                    rho_vec, cf = factor(rho)
+
+    if not polish:
+        return x
+
+    # Active-set polish: rows where z sits on a bound with multiplier pressure.
+    tol_act = 1e-7 * max(1.0, np.max(np.abs(z)))
+    low_act = (z - l <= tol_act) & (y < -1e-10)
+    upp_act = (u - z <= tol_act) & (y > 1e-10)
+    eq = np.isclose(l, u)
+    act = low_act | upp_act | eq
+    if not np.any(act):
+        return x
+    A_act = A[act]
+    b_act = np.where(upp_act[act], u[act], l[act])
+    # min x'x s.t. A_act x = b_act  ->  x = A_act' (A_act A_act')^-1 b_act
+    G = A_act @ A_act.T
+    G[np.diag_indices_from(G)] += 1e-12 * max(1.0, np.trace(G) / len(G))
+    try:
+        lam = sla.cho_solve(sla.cho_factor(G), b_act)
+    except np.linalg.LinAlgError:
+        lam = np.linalg.lstsq(G, b_act, rcond=None)[0]
+    x_pol = A_act.T @ lam
+    # one step of iterative refinement on the polish system
+    lam2 = sla.cho_solve(sla.cho_factor(G), b_act - A_act @ x_pol) \
+        if np.max(np.abs(b_act - A_act @ x_pol)) > 0 else 0 * lam
+    x_pol = x_pol + A_act.T @ lam2
+    # accept polish only if it is feasible for the full row set (OSQP-style
+    # polish verification) and does not increase the objective
+    viol = max(np.max(l - A @ x_pol, initial=0.0),
+               np.max(A @ x_pol - u, initial=0.0))
+    if viol <= 1e-6 and x_pol @ x_pol <= x @ x + 1e-9 * max(1.0, x @ x):
+        return x_pol
+    return x
