@@ -164,6 +164,26 @@ class ShardedSCPSolver:
                          tail_chunk)
         return self._compact
 
+    def _run_phase1(self, start_c, args, B, chunk):
+        """Initial-QP phase over the full batch in as FEW dispatches as
+        possible: the channel-factorized phase-1 QP is far cheaper per
+        scenario than a compaction step, so one full-batch dispatch stays
+        well under the runtime's execution deadline while saving
+        (B/chunk - 1) tunnel round-trips (~30 ms each on the remote
+        tunnel).  Falls back to chunked dispatches only when the batch is
+        very large (bounded on-device time per call)."""
+        max_start = max(chunk, 8192 * self.n_devices)
+        if B <= max_start:
+            return start_c(*args)
+        carries, flag_parts = [], []
+        for lo in range(0, B, max_start):
+            c, f = start_c(*jax.tree.map(
+                lambda x: x[lo:lo + max_start], args))
+            carries.append(c)
+            flag_parts.append(f)
+        carry = jax.tree.map(lambda *xs: jnp.concatenate(xs), *carries)
+        return carry, jnp.concatenate(flag_parts)
+
     def solve_compacted(self, p0, v0, pf, vf, keys,
                         chunk: int | None = None,
                         step_iters: int = 1) -> SCPResult:
@@ -208,16 +228,9 @@ class ShardedSCPSolver:
         args = (p0, v0, pf, vf, keys)
         si = jnp.int32(step_iters)
 
-        # phase 1 over the full batch, chunk by chunk (flags ride along in
+        # phase 1 over the full batch in one dispatch (flags ride along in
         # the same dispatch — the tunnel charges a round-trip per call)
-        carries, flag_parts = [], []
-        for lo in range(0, B, chunk):
-            c, f = start_c(*jax.tree.map(
-                lambda x: x[lo:lo + chunk], args))
-            carries.append(c)
-            flag_parts.append(f)
-        carry = jax.tree.map(lambda *xs: jnp.concatenate(xs), *carries)
-        flags = jnp.concatenate(flag_parts)
+        carry, flags = self._run_phase1(start_c, args, B, chunk)
 
         def dispatch(idx, size):
             if idx.size < size:        # pad by repeating active lanes
@@ -236,8 +249,13 @@ class ShardedSCPSolver:
                 carry, flags = dispatch(active[lo:lo + size], size)
                 lo += size
 
+        # finalize (rollout + feasibility check) is cheap: one full-batch
+        # dispatch instead of B/chunk chunked ones
+        max_fin = max(chunk, 16384 * self.n_devices)
+        if B <= max_fin:
+            return finalize_c(carry, p0, v0)
         results = []
-        for lo in range(0, B, chunk):
-            sl = jax.tree.map(lambda x: x[lo:lo + chunk], (carry, p0, v0))
+        for lo in range(0, B, max_fin):
+            sl = jax.tree.map(lambda x: x[lo:lo + max_fin], (carry, p0, v0))
             results.append(finalize_c(*sl))
         return jax.tree.map(lambda *xs: jnp.concatenate(xs), *results)

@@ -20,6 +20,8 @@ sys.path.insert(0, ".")
 sys.path.insert(0, "tests")
 
 import jax
+# the sitecustomize forces jax_platforms=axon; this run is float64 on CPU
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 
