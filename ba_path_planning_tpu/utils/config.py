@@ -175,21 +175,23 @@ class SolverConfig:
         ``pallas=None`` auto-detects: the fused kernel compiles only on TPU
         backends (CPU falls back to the XLA scan path).
 
-        Iteration budget / rho re-tuned on v5e with the compacting driver
-        (scripts/tune_iters.py): a 35-iteration ADMM budget trades slightly
-        more SCP re-linearizations (mean 1.56 vs 1.30) for much cheaper QP
-        solves — 312 vs 250 solves/s at 100% collision-free over 1536
-        randomized scenarios."""
+        Numerics re-tuned on v5e with the compacting driver
+        (scripts/ab_bench.py, round 2): a 25-iteration ADMM budget at
+        rho 2.6 / collision-rho boost 2.5 trades slightly more SCP
+        re-linearizations (mean 1.37 vs 1.25) for cheaper QP solves, and
+        2 Newton-Schulz iterations (down from 3) lose no SCP iterations —
+        1056 vs 983 solves/s at 100% collision-free over 1024 randomized
+        benchmark scenarios (N=20, K=50)."""
         if pallas is None:
             try:
                 import jax
                 pallas = jax.default_backend() not in ("cpu",)
             except Exception:
                 pallas = False
-        return cls(method="direct", pallas=pallas, rho=2.2, max_iter=35,
-                   check_interval=35, collision_margin=0.13, polish=False,
-                   adaptive_rho=False, factor_form="X", ns_iters=3,
-                   alpha=1.9, col_rho_boost=2.0)
+        return cls(method="direct", pallas=pallas, rho=2.6, max_iter=25,
+                   check_interval=25, collision_margin=0.13, polish=False,
+                   adaptive_rho=False, factor_form="X", ns_iters=2,
+                   alpha=1.9, col_rho_boost=2.5)
 
 
 def load_yaml(path: str) -> dict[str, Any]:

@@ -11,6 +11,7 @@ docs/PARITY.md.  ~0.5-1 h on the 2-core host; also runnable as
 """
 
 import json
+import os
 import sys
 import time
 
@@ -32,6 +33,34 @@ from ba_path_planning_tpu.utils import ProblemConfig, SolverConfig
 
 K, h, R = 50, 0.2, 0.8
 CASES = [(18, 42), (20, 7)]
+CACHE_DIR = "docs/parity_oracle_cache"
+# Engine QP tolerance.  The oracle's ADMM runs an active-set polish after
+# converging, i.e. its per-QP solutions are near-exact KKT points; at
+# 1e-6 the engine's unpolished solutions differ by ~1e-5 per QP, which the
+# 5 SCP re-linearizations amplify past 1e-3 (measured 1.2e-2 at N=20).
+ENGINE_EPS = float(os.environ.get("PARITY_EPS", "1e-9"))
+
+
+def oracle_cached(N, seed, p0, v0, pf):
+    """Oracle SCP solve, cached on disk (the dense float64 oracle takes
+    ~0.5-1.5 h per benchmark-scale case; the engine side iterates fast)."""
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = f"{CACHE_DIR}/oracle_N{N}_seed{seed}_K{K}.npz"
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return ({k: z[k] for k in
+                     ("positions", "velocities", "iterations", "converged",
+                      "feasible_initial")}, 0.0)
+    t0 = time.time()
+    ref = om.scp_solve(p0, v0, pf, v0, R=R, h=h, K=K, max_iterations=15,
+                       qp_solver="admm")
+    t_ref = time.time() - t0
+    np.savez_compressed(path, positions=ref["positions"],
+                        velocities=ref["velocities"],
+                        iterations=ref["iterations"],
+                        converged=ref["converged"],
+                        feasible_initial=ref["feasible_initial"])
+    return ref, t_ref
 
 
 def main():
@@ -43,15 +72,13 @@ def main():
         pf = np.asarray(sc.final[0], float)
         v0 = np.zeros((N, 2))
 
-        t0 = time.time()
-        ref = om.scp_solve(p0, v0, pf, v0, R=R, h=h, K=K, max_iterations=15,
-                           qp_solver="admm")
-        t_ref = time.time() - t0
+        ref, t_ref = oracle_cached(N, seed, p0, v0, pf)
 
         problem = ProblemConfig(n_vehicles=N, time_horizon=K * h, time_step=h,
                                 min_distance=R, max_iterations=15)
-        cfg = SolverConfig(method="direct", eps_abs=1e-6, eps_rel=1e-6,
-                           max_iter=20000, check_interval=50)
+        cfg = SolverConfig(method="direct", eps_abs=ENGINE_EPS,
+                           eps_rel=ENGINE_EPS,
+                           max_iter=200000, check_interval=100)
         eng = SCPEngine(problem, cfg, dtype=jnp.float64)
         t0 = time.time()
         res = eng.solve(p0, v0, pf, v0, key=jax.random.key(seed + 1))
@@ -62,7 +89,7 @@ def main():
         dvel = float(np.max(np.abs(np.asarray(res.velocities)
                                    - ref["velocities"])))
         row = dict(N=N, seed=seed, K=K,
-                   oracle_iters=ref["iterations"],
+                   oracle_iters=int(ref["iterations"]),
                    engine_iters=int(res.iterations),
                    oracle_converged=bool(ref["converged"]),
                    engine_converged=bool(res.converged),
