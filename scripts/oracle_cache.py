@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Compute and cache the float64 oracle SCP solution for one parity case.
+
+Usage:  python scripts/oracle_cache.py <N> <seed>
+
+Cache format v2 (docs/parity_oracle_cache/oracle_N{N}_seed{seed}_K{K}.npz):
+stores the full problem identity (p0, pf, R, h, max_iterations) and the
+oracle wall time alongside the solution, so ``scripts/parity_full.py`` can
+validate a cache hit instead of trusting (N, seed, K) alone, and cache hits
+report the original timing instead of 0.0.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+
+from oracles import reference_math as om
+from ba_path_planning_tpu.scenarios import generate_scenario_batch
+
+K, h, R = 50, 0.2, 0.8
+MAX_ITERATIONS = 15
+ORACLE_VERSION = 2
+CACHE_DIR = "docs/parity_oracle_cache"
+
+
+def cache_path(N, seed):
+    return f"{CACHE_DIR}/oracle_N{N}_seed{seed}_K{K}.npz"
+
+
+def scenario(N, seed):
+    sc = generate_scenario_batch(jax.random.key(seed), 1, n_vehicles=N,
+                                 min_distance=R, dtype=jnp.float64)
+    p0 = np.asarray(sc.initial[0], float)
+    pf = np.asarray(sc.final[0], float)
+    return p0, pf, np.zeros((N, 2))
+
+
+def compute_and_cache(N, seed):
+    p0, pf, v0 = scenario(N, seed)
+    t0 = time.time()
+    ref = om.scp_solve(p0, v0, pf, v0, R=R, h=h, K=K,
+                       max_iterations=MAX_ITERATIONS, qp_solver="admm")
+    t_ref = time.time() - t0
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    np.savez_compressed(
+        cache_path(N, seed), positions=ref["positions"],
+        velocities=ref["velocities"], iterations=ref["iterations"],
+        converged=ref["converged"], feasible_initial=ref["feasible_initial"],
+        p0=p0, pf=pf, R=R, h=h, max_iterations=MAX_ITERATIONS,
+        oracle_version=ORACLE_VERSION, oracle_s=t_ref)
+    print(f"cached N={N} seed={seed}: iters={ref['iterations']} "
+          f"converged={ref['converged']} t={t_ref:.1f}s", flush=True)
+
+
+if __name__ == "__main__":
+    compute_and_cache(int(sys.argv[1]), int(sys.argv[2]))
