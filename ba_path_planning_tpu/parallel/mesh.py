@@ -11,8 +11,6 @@ devices).  Multi-host runs extend the same mesh over DCN via
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -200,10 +198,14 @@ class ShardedSCPSolver:
         :meth:`solve`: the resumable carry includes the global iteration
         index that keys the degenerate-pair PRNG fold.
 
-        Implemented with three fixed-shape executables (start / step /
-        finalize), so compaction never recompiles; the final partial chunk
-        is padded by repeating active lanes (identical duplicate work,
-        scattered back idempotently).
+        Compaction-round dispatches use two fixed shapes (``chunk`` and a
+        tail chunk), so the compaction loop itself never recompiles.  The
+        phase-1 and finalize dispatches run at the full batch size — one
+        executable per distinct B a caller uses (cheap channel-factorized /
+        rollout work; the single dispatch saves B/chunk tunnel round-trips).
+        Callers cycling many batch sizes should pin B to a small grid.
+        The final partial chunk is padded by repeating active lanes
+        (identical duplicate work, scattered back idempotently).
         """
         import numpy as np_
 

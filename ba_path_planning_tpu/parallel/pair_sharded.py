@@ -28,13 +28,12 @@ Semantics are shared with the unsharded engine down to the same functions:
 
 from __future__ import annotations
 
-from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
 
 from ..ops.collisions import PairIndex
 from ..solvers.admm import make_solver_params

@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.collisions import PairIndex
-from ..utils.config import SolverConfig, SolverStatic
+from ..utils.config import SolverStatic
 from .admm import SolverParams, _LOOSE_RHO
 
 _HP = jax.lax.Precision.HIGHEST

@@ -11,7 +11,6 @@ Everything is reproducible from (seed, config), which are stored in the meta.
 from __future__ import annotations
 
 import json
-from dataclasses import asdict
 from pathlib import Path
 
 import numpy as np

@@ -181,7 +181,16 @@ class SolverConfig:
         re-linearizations (mean 1.37 vs 1.25) for cheaper QP solves, and
         2 Newton-Schulz iterations (down from 3) lose no SCP iterations —
         1056 vs 983 solves/s at 100% collision-free over 1024 randomized
-        benchmark scenarios (N=20, K=50)."""
+        benchmark scenarios (N=20, K=50).
+
+        Validated range: these constants (fixed 25-iteration ADMM budget with
+        a single terminal residual check, ns_iters=2 approximate factors,
+        collision margin 0.13) were tuned at N=20/K=50/h=0.2/R=0.8 and
+        validated 100% collision-free over the committed N=10..40 sweep at
+        that horizon (docs/soak_nsweep_v5e.json).  At materially different
+        K, h, or R the safety story rests on collision_margin plus the
+        post-hoc feasibility check — re-validate (scripts/soak_and_nsweep.py)
+        before trusting the tuned budget elsewhere."""
         if pallas is None:
             try:
                 import jax

@@ -33,9 +33,11 @@ from ba_path_planning_tpu.solvers import banded
 from ba_path_planning_tpu.solvers.scp import _warm_state
 from ba_path_planning_tpu.utils import ProblemConfig, SolverConfig
 
-B = 128
-REPS = 8
-problem = ProblemConfig(n_vehicles=20, time_horizon=10.0, time_step=0.2,
+import os
+B = int(os.environ.get("PROF_B", "128"))
+REPS = int(os.environ.get("PROF_REPS", "8"))
+problem = ProblemConfig(n_vehicles=int(os.environ.get("PROF_N", "20")),
+                        time_horizon=10.0, time_step=0.2,
                         min_distance=0.8, max_iterations=15,
                         stop_mode="feasible")
 solver = SolverConfig.production()
@@ -142,7 +144,7 @@ def ph_e2e(d):
         _SH = ShardedSCPSolver(problem, solver, mesh=make_mesh(),
                                dtype=jnp.float32)
     out = _SH.solve_compacted(d["p0"], d["v0"], d["pf"], d["v0"], d["keys"],
-                              chunk=128)
+                              chunk=min(128, B))
     return out.feasible_final
 
 

@@ -3,7 +3,6 @@
 compacting driver: find the smallest budget that keeps 100% collision-free
 across a multi-batch soak."""
 
-import sys
 import time
 
 import numpy as np

@@ -15,7 +15,7 @@ from ba_path_planning_tpu.ops.pallas.admm_fused import (
     bound_planes, pair_matrices, planes_to_rowvals, rowvals_to_planes)
 from ba_path_planning_tpu.solvers import banded
 from ba_path_planning_tpu.solvers.admm import make_solver_params
-from ba_path_planning_tpu.solvers.banded import RowVals, StateVars
+from ba_path_planning_tpu.solvers.banded import RowVals
 from ba_path_planning_tpu.utils import Limits, ProblemConfig, SolverConfig
 
 

@@ -3,7 +3,6 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from ba_path_planning_tpu.ops import make_pair_index
 from ba_path_planning_tpu.solvers import banded

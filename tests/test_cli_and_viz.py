@@ -5,7 +5,6 @@ import json
 from pathlib import Path
 
 import numpy as np
-import pytest
 
 
 def test_package_public_api():
@@ -102,8 +101,7 @@ def test_collision_net_train_and_roundtrip(tmp_path):
     import jax.numpy as jnp
     from ba_path_planning_tpu.cli.train_collision_network import main
     from ba_path_planning_tpu.models.collision_net import (
-        CollisionNet, load_params, make_train_state, predict_logits,
-        save_params)
+        load_params, make_train_state, predict_logits, save_params)
 
     out = tmp_path / "cnet.npz"
     rc = main(["--n-vehicles", "3", "--samples", "96", "--label-chunk", "48",

@@ -80,7 +80,6 @@ def test_two_process_distributed(tmp_path):
     # reassemble the global result from both processes' addressable shards
     from distributed_worker import test_config
     from ba_path_planning_tpu.scenarios import generate_scenario_batch
-    from ba_path_planning_tpu.solvers.scp import SCPEngine
 
     problem, solver, B, dtype = test_config()
     shards: dict[str, dict[int, np.ndarray]] = {}

@@ -1,7 +1,6 @@
 """Matmul-form operators must match the scan-form operators exactly."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ba_path_planning_tpu.ops import (apply_static, apply_collision,

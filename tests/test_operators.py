@@ -9,7 +9,7 @@ from ba_path_planning_tpu.ops import (apply_static, apply_static_adjoint,
                                       static_bounds, make_pair_index,
                                       linearize, collision_lower_bounds,
                                       check_feasible)
-from ba_path_planning_tpu.utils import Limits, to_flat
+from ba_path_planning_tpu.utils import Limits
 from oracles import reference_math as oracle
 import jax
 

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 
 from ba_path_planning_tpu.scenarios.generator import (
     BOX_SIZE, CIRCLE_CENTERS, CIRCLE_RADIUS, DIAMOND_CENTER, DIAMOND_SIZE,
-    Scenario, generate_positions, generate_scenario, generate_scenario_batch,
+    generate_positions, generate_scenario, generate_scenario_batch,
     minimum_distance, print_distance_analysis)
 
 

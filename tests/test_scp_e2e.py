@@ -3,10 +3,8 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
-from ba_path_planning_tpu.solvers.scp import (SCPEngine, STATUS_FEASIBLE_INITIAL,
-                                              STATUS_CONVERGED)
+from ba_path_planning_tpu.solvers.scp import SCPEngine, STATUS_FEASIBLE_INITIAL
 from ba_path_planning_tpu.utils import ProblemConfig, SolverConfig
 from oracles import reference_math as oracle
 
