@@ -25,15 +25,16 @@ _HP = jax.lax.Precision.HIGHEST
 
 @lru_cache(maxsize=32)
 def _mats_np(K: int, h: float):
-    """Dense operator matrices: L (cumsum), S (pos rows), W (zero-IC rollout)."""
-    L = np.tril(np.ones((K, K)))
-    S = np.zeros((K, K))
-    W = np.zeros((K, K))
-    for k in range(K):
-        for j in range(k + 1):
-            S[k, j] = h * h * (k - j + 0.5)
-        for j in range(k):
-            W[k, j] = h * h * (k - j - 0.5)
+    """Dense operator matrices: L (cumsum), S (pos rows), W (zero-IC rollout).
+
+    All three come from the single dynamics definition in
+    :class:`~ba_path_planning_tpu.models.double_integrator.DoubleIntegrator2D`.
+    """
+    from ..models.double_integrator import DoubleIntegrator2D
+    model = DoubleIntegrator2D(n_steps=K, time_step=h)
+    L = model.velocity_matrix() / h
+    S = model.position_matrix()
+    W = model.rollout_position_matrix()
     return L, S, W
 
 

@@ -207,6 +207,7 @@ class ShardedSCPSolver:
         The final partial chunk is padded by repeating active lanes
         (identical duplicate work, scattered back idempotently).
         """
+        import time as time_
         import numpy as np_
 
         B = p0.shape[0]
@@ -232,7 +233,10 @@ class ShardedSCPSolver:
 
         # phase 1 over the full batch in one dispatch (flags ride along in
         # the same dispatch — the tunnel charges a round-trip per call)
+        t0 = time_.perf_counter()
         carry, flags = self._run_phase1(start_c, args, B, chunk)
+        flags_h = np_.asarray(flags)
+        t1 = time_.perf_counter()
 
         def dispatch(idx, size):
             if idx.size < size:        # pad by repeating active lanes
@@ -240,7 +244,7 @@ class ShardedSCPSolver:
             return step_c(carry, jnp.asarray(idx), si, *args)
 
         while True:
-            active = np_.flatnonzero(np_.asarray(flags))
+            active = np_.flatnonzero(flags_h)
             if active.size == 0:
                 break
             lo = 0
@@ -250,6 +254,11 @@ class ShardedSCPSolver:
                 size = min(size, chunk)
                 carry, flags = dispatch(active[lo:lo + size], size)
                 lo += size
+            flags_h = np_.asarray(flags)
+        t2 = time_.perf_counter()
+        # per-phase wall split for callers building per-scenario time proxies
+        # (synced on the flags transfers the loop performs anyway)
+        self.last_timing = {"phase1_s": t1 - t0, "loop_s": t2 - t1}
 
         # finalize (rollout + feasibility check) is cheap: one full-batch
         # dispatch instead of B/chunk chunked ones

@@ -167,15 +167,11 @@ def build_static_normal_inverse(n_steps: int, h: float, cfg: SolverConfig,
     """
     K = n_steps
 
-    J = np.zeros((K - 1, K))
-    for k in range(K - 1):
-        J[k, k] = -1.0 / h
-        J[k, k + 1] = 1.0 / h
-    T = np.tril(np.ones((K, K))) * h
-    S = np.zeros((K, K))
-    for k in range(K):
-        for j in range(k + 1):
-            S[k, j] = h * h * (k - j + 0.5)
+    from ..models.double_integrator import DoubleIntegrator2D
+    model = DoubleIntegrator2D(n_steps=K, time_step=h)
+    J = model.jerk_matrix()
+    T = model.velocity_matrix()
+    S = model.position_matrix()
 
     n_jerk, n_acc, n_vel, n_pos, _ = _row_norms_np(K, h)
     w_jerk = 1.0 / n_jerk**2

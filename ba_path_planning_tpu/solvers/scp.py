@@ -355,12 +355,13 @@ def _warm_state(a, p0, v0, h):
     """StateVars warm start with p/v from the exact rollout of ``a``.
 
     Variables are p[1..K], v[1..K]; rollout returns indices 0..K-1, so shift
-    by one and extrapolate the terminal state.
+    by one and extrapolate the terminal state via the dynamics model.
     """
+    from ..models.double_integrator import DoubleIntegrator2D
     from .banded import StateVars
     pos, vel = rollout(a, p0, v0, h)
-    vK = vel[..., -1, :] + h * a[..., -1, :]
-    pK = pos[..., -1, :] + h * vel[..., -1, :] + 0.5 * h * h * a[..., -1, :]
+    model = DoubleIntegrator2D(n_steps=a.shape[-2], time_step=h)
+    pK, vK = model.terminal_state(pos, vel, a)
     p_var = jnp.concatenate([pos[..., 1:, :], pK[..., None, :]], axis=-2)
     v_var = jnp.concatenate([vel[..., 1:, :], vK[..., None, :]], axis=-2)
     return StateVars(a=a, p=p_var, v=v_var)
