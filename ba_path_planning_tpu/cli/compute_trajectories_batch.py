@@ -151,6 +151,15 @@ def run_batch_for_n(n: int, cfg: dict, dtype, solver_kind: str = "production",
                                time_step=problem.time_step)
     reachable = np.asarray(model.reachable(
         sc.initial, sc.final, problem.vel_max, problem.acc_max).all(axis=-1))
+    # terminal goal attainment: the reference enforces p[K] = pf as a hard
+    # equality (an infeasible/failed QP raises, scp.py:363-365); the batched
+    # solver reports the achieved terminal error instead and a trial only
+    # counts as success when the goal is actually hit
+    pK, _ = model.terminal_state(res.positions, res.velocities,
+                                 res.accelerations)
+    goal_err = np.linalg.norm(np.asarray(pK) - np.asarray(sc.final),
+                              axis=-1).max(axis=-1)
+    GOAL_TOL = 0.05                    # [m]
     # Per-scenario time proxy (VERDICT r2 weak #3): the batched program has
     # no per-lane clocks, but the compacting driver DOES know how much wall
     # time went into the SCP-iteration loop vs the batch-uniform phases
@@ -180,6 +189,9 @@ def run_batch_for_n(n: int, cfg: dict, dtype, solver_kind: str = "production",
             err = "goal unreachable within horizon (dynamics pre-screen)"
         elif not feasible:
             err = f"not collision-free (status={int(res.status[t])})"
+        elif goal_err[t] >= GOAL_TOL:
+            success = False
+            err = f"goal missed by {goal_err[t]:.3f} m"
         rows.append({
             "N": n,
             "trial_index": t,
@@ -192,6 +204,7 @@ def run_batch_for_n(n: int, cfg: dict, dtype, solver_kind: str = "production",
             "scp_iterations": int(res.iterations[t]),
             "qp_iterations": int(res.qp_iterations[t]),
             "scp_status": int(res.status[t]),
+            "goal_error_m": float(goal_err[t]),
             "seed": seed + 1000 * n,
         })
     return rows

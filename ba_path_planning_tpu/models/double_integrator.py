@@ -75,8 +75,10 @@ class DoubleIntegrator2D:
         return pK, vK
 
     def max_displacement(self, vel_max: float, acc_max: float) -> float:
-        """Upper bound on reachable distance from rest to rest over the
-        horizon — a cheap scenario pre-feasibility screen."""
+        """Upper bound on reachable PER-AXIS displacement from rest to rest
+        over the horizon — a cheap scenario pre-feasibility screen.  The
+        velocity/acceleration limits are per-axis boxes (scp.py:67-71), so
+        the reachable set is a square of this half-width, not a disc."""
         K, h = self.n_steps, self.time_step
         T = K * h
         # accelerate/decelerate triangle capped by vel_max
@@ -86,6 +88,7 @@ class DoubleIntegrator2D:
         return vel_max * (T - t_ramp)
 
     def reachable(self, p0, pf, vel_max: float, acc_max: float) -> jnp.ndarray:
-        """Boolean (per vehicle) screen: |pf - p0| within max_displacement."""
-        d = jnp.linalg.norm(jnp.asarray(pf) - jnp.asarray(p0), axis=-1)
+        """Boolean (per vehicle) screen: per-axis |pf - p0| within
+        max_displacement (the box limits act independently per axis)."""
+        d = jnp.max(jnp.abs(jnp.asarray(pf) - jnp.asarray(p0)), axis=-1)
         return d <= self.max_displacement(vel_max, acc_max)

@@ -65,19 +65,29 @@ def main():
         # the remote-tunnel runtime does not synchronize on
         # block_until_ready; force a (small) transfer instead
         np.asarray(out.feasible_final)
-        return out
+        return out, sc.final
 
     run(0)                            # warmup/compile
     t0 = time.perf_counter()
     # fresh scenarios for the timed run: identical repeated dispatches can
     # be served from the runtime cache
-    out = run(100)
+    out, res_pf = run(100)
     dt = time.perf_counter() - t0
     res = jax.tree.map(np.asarray, out)
 
     status = np.asarray(res.status)
     ff = np.asarray(res.feasible_final)
-    ok = int(ff.sum())
+    # success = collision-free AND goal actually reached (<= 5 cm terminal
+    # error): the reference enforces the terminal equality inside the QP and
+    # errors out otherwise, so goal-missing lanes must not count as solves
+    from ba_path_planning_tpu.models.double_integrator import DoubleIntegrator2D
+    model = DoubleIntegrator2D(n_steps=problem.n_steps,
+                               time_step=problem.time_step)
+    pK, _ = model.terminal_state(res.positions, res.velocities,
+                                 res.accelerations)
+    goal_err = np.linalg.norm(np.asarray(pK) - np.asarray(res_pf),
+                              axis=-1).max(axis=-1)
+    ok = int((ff & (goal_err < 0.05)).sum())
     solves_per_sec = ok / dt
 
     # p50 single-scenario solve latency (BASELINE.md metric): time a few
@@ -103,7 +113,10 @@ def main():
     }
     print(json.dumps(out))
     print(f"# batch={batch} devices={n_dev} wall={dt:.3f}s "
-          f"collision_free={ok}/{batch} "
+          f"ok={ok}/{batch} (collision_free={int(ff.sum())}, "
+          f"goal<5cm={int((goal_err < 0.05).sum())}, "
+          f"goal_err p50={float(np.median(goal_err)):.3f} "
+          f"p99={float(np.percentile(goal_err, 99)):.3f}) "
           f"statuses={np.bincount(status, minlength=3).tolist()} "
           f"mean_scp_iters={float(np.asarray(res.iterations).mean()):.2f} "
           f"mean_qp_iters={float(np.asarray(res.qp_iterations).mean()):.0f} "

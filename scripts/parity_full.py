@@ -19,6 +19,7 @@ import numpy as np
 
 sys.path.insert(0, ".")
 sys.path.insert(0, "tests")
+sys.path.insert(0, "scripts")
 
 import jax
 # the sitecustomize forces jax_platforms=axon; this run is float64 on CPU
@@ -33,34 +34,52 @@ from ba_path_planning_tpu.utils import ProblemConfig, SolverConfig
 
 K, h, R = 50, 0.2, 0.8
 CASES = [(18, 42), (20, 7)]
-CACHE_DIR = "docs/parity_oracle_cache"
-# Engine QP tolerance.  The oracle's ADMM runs an active-set polish after
-# converging, i.e. its per-QP solutions are near-exact KKT points; at
-# 1e-6 the engine's unpolished solutions differ by ~1e-5 per QP, which the
-# 5 SCP re-linearizations amplify past 1e-3 (measured 1.2e-2 at N=20).
-ENGINE_EPS = float(os.environ.get("PARITY_EPS", "1e-9"))
+# Engine QP tolerance.  Both sides must be near-EXACT per QP: the SCP
+# re-linearizations amplify per-QP solution error ~1000x at benchmark scale
+# (measured round 2: per-QP ~1e-5 at eps 1e-6 -> 1.2e-2 final).  The oracle
+# certifies each QP to machine precision via active-set refinement
+# (reference_math.solve_qp_admm); the engine runs ADMM to eps (below) and
+# then the direct-path active-set polish (solvers/scp._polish_direct).
+# NOTE: eps tighter than ~1e-7 makes the float64 ADMM STALL at max_iter,
+# leaving inconsistent duals that poison the polish — 1e-6 terminates
+# cleanly and the polish supplies the remaining accuracy.
+ENGINE_EPS = float(os.environ.get("PARITY_EPS", "1e-6"))
 
 
 def oracle_cached(N, seed, p0, v0, pf):
-    """Oracle SCP solve, cached on disk (the dense float64 oracle takes
-    ~0.5-1.5 h per benchmark-scale case; the engine side iterates fast)."""
-    os.makedirs(CACHE_DIR, exist_ok=True)
-    path = f"{CACHE_DIR}/oracle_N{N}_seed{seed}_K{K}.npz"
+    """Oracle SCP solve, cached on disk with a VALIDATED cache: the stored
+    problem identity (p0, pf, R, h, max_iterations, oracle version) must
+    match, otherwise the cache is stale and is recomputed
+    (scripts/oracle_cache.py owns the format).  Cache hits report the
+    original oracle wall time."""
+    import oracle_cache as oc
+    path = oc.cache_path(N, seed)
     if os.path.exists(path):
         with np.load(path) as z:
-            return ({k: z[k] for k in
-                     ("positions", "velocities", "iterations", "converged",
-                      "feasible_initial")}, 0.0)
+            stale = []
+            if int(z.get("oracle_version", 0)) != oc.ORACLE_VERSION:
+                stale.append("oracle_version")
+            for name, want in (("p0", p0), ("pf", pf)):
+                if name not in z or z[name].shape != np.asarray(want).shape \
+                        or np.max(np.abs(z[name] - want)) != 0.0:
+                    stale.append(name)
+            for name, want in (("R", R), ("h", h),
+                               ("max_iterations", 15)):
+                if name not in z or float(z[name]) != float(want):
+                    stale.append(name)
+            if not stale:
+                return ({k: z[k] for k in
+                         ("positions", "velocities", "iterations",
+                          "converged", "feasible_initial")},
+                        float(z["oracle_s"]))
+            print(f"  cache STALE for N={N} ({', '.join(stale)}); "
+                  "recomputing", flush=True)
     t0 = time.time()
-    ref = om.scp_solve(p0, v0, pf, v0, R=R, h=h, K=K, max_iterations=15,
-                       qp_solver="admm")
-    t_ref = time.time() - t0
-    np.savez_compressed(path, positions=ref["positions"],
-                        velocities=ref["velocities"],
-                        iterations=ref["iterations"],
-                        converged=ref["converged"],
-                        feasible_initial=ref["feasible_initial"])
-    return ref, t_ref
+    oc.compute_and_cache(N, seed)
+    with np.load(path) as z:
+        return ({k: z[k] for k in
+                 ("positions", "velocities", "iterations", "converged",
+                  "feasible_initial")}, time.time() - t0)
 
 
 def main():
@@ -77,8 +96,9 @@ def main():
         problem = ProblemConfig(n_vehicles=N, time_horizon=K * h, time_step=h,
                                 min_distance=R, max_iterations=15)
         cfg = SolverConfig(method="direct", eps_abs=ENGINE_EPS,
-                           eps_rel=ENGINE_EPS,
-                           max_iter=200000, check_interval=100)
+                           eps_rel=ENGINE_EPS, polish=True,
+                           polish_cg_iters=400,
+                           max_iter=50000, check_interval=100)
         eng = SCPEngine(problem, cfg, dtype=jnp.float64)
         t0 = time.time()
         res = eng.solve(p0, v0, pf, v0, key=jax.random.key(seed + 1))

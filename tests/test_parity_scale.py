@@ -78,6 +78,44 @@ def test_admm_oracle_matches_trust_constr_static_qp():
     np.testing.assert_allclose(x_ad, x_tc, atol=1e-7)
 
 
+def test_admm_oracle_polish_is_certified_exact():
+    """The oracle's active-set refinement reaches the certified KKT optimum:
+    two ADMM runs from different starts / penalties agree EXACTLY after
+    polish, and the KKT conditions hold to machine precision on a feasible
+    collision QP — the per-QP exactness the benchmark-scale parity rests on."""
+    N, K, h, R = 2, 14, 0.2, 0.8
+    p0 = np.array([[6.0, 10.0], [14.0, 10.0]])
+    pf = np.array([[10.0, 13.0], [10.0, 7.0]])
+    v0 = np.zeros((N, 2))
+    mats = oracle.static_dense_matrices(N, K, h)
+    lo, up = oracle.static_bounds(p0, v0, pf, v0, K=K, h=h, vel_min=-2,
+                                  vel_max=2, acc_min=-15, acc_max=15,
+                                  jerk_min=-20, jerk_max=20, pos_min=(0, 0),
+                                  pos_max=(20, 20))
+    order = ("jerk", "acc", "vel", "pos")
+    A_s = np.vstack([mats[k] for k in order])
+    l_s = np.concatenate([lo[k].reshape(-1) for k in order])
+    u_s = np.concatenate([up[k].reshape(-1) for k in order])
+    x0 = oracle.solve_qp_admm(A_s, l_s, u_s)
+    prev_pos, _ = oracle.rollout(oracle.unflatten(x0, N, K), p0, v0, h)
+    A_c, l_c, _ = oracle.collision_rows(prev_pos, p0, v0, R, h)
+    A = np.vstack([A_s, A_c])
+    l = np.concatenate([l_s, l_c])
+    u = np.concatenate([u_s, np.full(len(l_c), np.inf)])
+
+    xa = oracle.solve_qp_admm(A, l, u, x0=x0)
+    xb = oracle.solve_qp_admm(A, l, u, x0=None, rho=0.7, alpha=1.5)
+    np.testing.assert_array_equal(xa, xb)      # same certified optimum
+
+    viol = max(np.max(l - A @ xa, initial=0.0),
+               np.max(A @ xa - u, initial=0.0))
+    assert viol <= 1e-9
+    r = A @ xa
+    act = (r - l <= 1e-7) | (u - r <= 1e-7)
+    lam, *_ = np.linalg.lstsq(A[act].T, 2 * xa, rcond=None)
+    assert np.max(np.abs(2 * xa - A[act].T @ lam)) <= 1e-8
+
+
 def test_parity_n5_benchmark_horizon():
     """Full SCP differential at N=5 on the benchmark horizon (K=50, h=0.2,
     R=0.8): engine trajectories match the independent dense oracle within
