@@ -202,6 +202,18 @@ class SolverConfig:
                    adaptive_rho=False, factor_form="X", ns_iters=2,
                    alpha=1.9, col_rho_boost=2.5)
 
+    @classmethod
+    def latency(cls, pallas: bool | None = None) -> "SolverConfig":
+        """Single-scenario latency-tuned configuration: same solution
+        quality as :meth:`production`, but the ADMM budget is split into
+        9-iteration intervals with residual-check early exit — a lone
+        scenario pays its ACTUAL iteration count instead of the full
+        batch-tuned 25-iteration budget (swept in
+        scripts/latency_sweep.py: min latency 38.1 ms vs 44.2 ms for the
+        production budget at N=20/K=50; p50 is dominated by the ~25-35 ms
+        remote-tunnel round trip on this host)."""
+        return cls.production(pallas).replace(max_iter=27, check_interval=9)
+
 
 def load_yaml(path: str) -> dict[str, Any]:
     """Load a YAML config file (PyYAML if available, minimal parser otherwise)."""

@@ -90,16 +90,20 @@ def main():
     ok = int((ff & (goal_err < 0.05)).sum())
     solves_per_sec = ok / dt
 
-    # p50 single-scenario solve latency (BASELINE.md metric): time a few
-    # individual solves through the unbatched engine
+    # p50 single-scenario solve latency (BASELINE.md metric): individual
+    # solves through the unbatched engine with the latency-tuned config
+    # (early-exit ADMM intervals; scripts/latency_sweep.py)
+    from ba_path_planning_tpu.solvers.scp import SCPEngine
+    lat_engine = SCPEngine(problem, SolverConfig.latency(),
+                           dtype=jnp.float32)
     lat = []
-    for i in range(5):
+    for i in range(10):
         sci = generate_scenario_batch(jax.random.key(50 + i), 1,
                                       n_vehicles=problem.n_vehicles,
                                       min_distance=problem.min_distance)
         t0 = time.perf_counter()
-        r1 = sh.engine.solve(sci.initial[0], v0[0], sci.final[0], v0[0],
-                             key=jax.random.key(60 + i))
+        r1 = lat_engine.solve(sci.initial[0], v0[0], sci.final[0], v0[0],
+                              key=jax.random.key(60 + i))
         np.asarray(r1.feasible_final)
         lat.append(time.perf_counter() - t0)
     p50_latency_ms = float(np.median(lat[1:]) * 1e3)   # skip compile call
