@@ -435,8 +435,8 @@ def assemble_skeleton(rho: RowVals, *, h: float, sigma, n_vehicles: int):
     return D, s
 
 
-def collision_blocks(rho_col, eta, E, axis_name: str | None = None
-                     ) -> jnp.ndarray:
+def collision_blocks(rho_col, eta, E, axis_name: str | None = None,
+                     precision=None) -> jnp.ndarray:
     """Per-scenario collision contributions to the p-p slot of D.
 
     Collision rows at time k touch p_k, which lives on the p-slot of
@@ -444,24 +444,31 @@ def collision_blocks(rho_col, eta, E, axis_name: str | None = None
     onto D_k (last entry zero).  G_k = E x eta_k per (scp.py:489-534 algebra).
     ``axis_name``: psum partial normal-equation blocks over a pair-sharded
     mesh axis (SURVEY 2.3, agent-pair parallelism).
+
+    ``precision``: the K x (2N)^2 x P contraction is the single largest
+    MXU cost of QP setup at large N (~2.5 of the 3.85 ms/scn factorization
+    phase at N=40); the result only seeds a factorization whose NS residual
+    is ~1.6e-2, so bf16-input passes (DEFAULT, f32 accumulation) are ample.
+    None = HIGHEST (exact reproduction path).
     """
+    prec = _HP if precision is None else precision
     K = eta.shape[-3]
     G = jnp.einsum('np,kpc->kncp', E, eta).reshape(K, -1, E.shape[1])
-    colM = jnp.einsum('kip,kp,kjp->kij', G, rho_col, G, precision=_HP)
+    colM = jnp.einsum('kip,kp,kjp->kij', G, rho_col, G, precision=prec)
     if axis_name is not None:
         colM = jax.lax.psum(colM, axis_name)
     return jnp.concatenate([colM[1:], jnp.zeros_like(colM[:1])], axis=0)
 
 
 def assemble_D(rho: RowVals, eta, E, *, h: float, sigma, n_vehicles: int,
-               axis_name: str | None = None):
+               axis_name: str | None = None, precision=None):
     """Diagonal blocks D (K, 6N, 6N) + slot-scalar off-diagonals
     C (K-1, 3, 3) — the dense-B-free form for :func:`factorize_L`."""
     N = n_vehicles
     n2 = 2 * N
     D, s = assemble_skeleton(rho, h=h, sigma=sigma, n_vehicles=N)
     D = D + 0.0
-    colM_pad = collision_blocks(rho.col, eta, E, axis_name)
+    colM_pad = collision_blocks(rho.col, eta, E, axis_name, precision)
     D = D.at[:, n2:2 * n2, n2:2 * n2].add(colM_pad)
     return D, b_slot_mats(s)
 
@@ -729,7 +736,8 @@ def _spd_inv(S):
     return jnp.einsum('...ji,...jk->...ik', Linv, Linv, precision=_HP)
 
 
-def factorize_X(D, C, *, ns_iters: int = 0, ns_anchor: int = 0):
+def factorize_X(D, C, *, ns_iters: int = 0, ns_anchor: int = 0,
+                ns_precision=None):
     """Block factorization storing symmetric inverses X (K, n, n).
 
     ``ns_iters = 0``: exact inverse at every step (same cost profile as
@@ -739,8 +747,17 @@ def factorize_X(D, C, *, ns_iters: int = 0, ns_anchor: int = 0):
     its steady state — measured one-step-lag residuals ||I - S_k X_{k-1}||
     are ~4 at k=1, ~0.9 at k=2, and <= 0.25 from k=3 on; the terminal step
     carries the equality-rho jump), plus every ``ns_anchor``-th step if > 0.
+
+    ``ns_precision``: matmul precision for the NS iteration itself (the
+    dominant MXU cost at large N).  ``Precision.HIGH`` (bf16x3) measures
+    IDENTICAL mid-chain residual to HIGHEST (1.60e-2 vs 1.57e-2 at
+    N=40/K=50) at 2.55x the factorization speed — NS is self-correcting, so
+    pass-count precision only moves the iteration's contraction slightly.
+    DEFAULT (single bf16 pass) floors at ~0.13 residual regardless of
+    iteration count (the rounding of S itself) — too loose.  None = HIGHEST.
     """
     K = D.shape[0]
+    ns_prec = _HP if ns_precision is None else ns_precision
 
     def exact_step(Xprev, Dk, Ck):
         return _spd_inv(Dk - bxbt(Ck, Xprev))
@@ -759,9 +776,9 @@ def factorize_X(D, C, *, ns_iters: int = 0, ns_anchor: int = 0):
         Sk = Dk - bxbt(Ck, Xprev)
         X = Xprev
         for _ in range(ns_iters):
-            T = jnp.einsum('...ij,...jk->...ik', Sk, X, precision=_HP)
+            T = jnp.einsum('...ij,...jk->...ik', Sk, X, precision=ns_prec)
             X = 2.0 * X - jnp.einsum('...ij,...jk->...ik', X, T,
-                                     precision=_HP)
+                                     precision=ns_prec)
         X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
         return X, X
 
@@ -1035,11 +1052,21 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
             # per ADMM iteration.  Lane-padded once for the DMA alignment
             # rule (group_solve.pad_factors).
             from ..ops.pallas.group_solve import pad_factors
+            asm_prec = {"highest": None,
+                        "high": jax.lax.Precision.HIGH,
+                        "default": jax.lax.Precision.DEFAULT}[
+                static.assemble_precision]
             D, C = assemble_D(rho_b, eta, E, h=h, sigma=sigma,
-                              n_vehicles=N, axis_name=axis_name)
+                              n_vehicles=N, axis_name=axis_name,
+                              precision=asm_prec)
             if static.factor_form == "X":
+                prec = {"highest": None,
+                        "high": jax.lax.Precision.HIGH,
+                        "default": jax.lax.Precision.DEFAULT}[
+                    static.ns_precision]
                 F = factorize_X(D, C, ns_iters=static.ns_iters,
-                                ns_anchor=static.ns_anchor)
+                                ns_anchor=static.ns_anchor,
+                                ns_precision=prec)
             else:
                 F = factorize_L(D, C)
             if static.factor_dtype == "bf16":

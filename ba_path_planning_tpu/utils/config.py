@@ -101,6 +101,13 @@ class SolverStatic:
     # 0 = anchors only at k = 0 and k = K-1, where the rho pattern jumps)
     ns_iters: int = 0
     ns_anchor: int = 0
+    # NS matmul precision: "highest" (6-pass f32) | "high" (bf16x3 — same
+    # measured NS residual at 2.55x the factorization speed) | "default"
+    ns_precision: str = "highest"
+    # Collision normal-block assembly precision (the K x (2N)^2 x P einsum
+    # dominating QP setup at large N); "default" = bf16 inputs with f32
+    # accumulation — error ~1e-3 relative, far below the NS residual
+    assemble_precision: str = "highest"
 
 
 @dataclass(frozen=True)
@@ -137,6 +144,8 @@ class SolverConfig:
     factor_form: str = "L"           # "L" | "X" grouped-solve factor form
     ns_iters: int = 0                # X-form: Newton-Schulz iters (0 = exact)
     ns_anchor: int = 0               # X-form: exact-anchor cadence (0 = ends)
+    ns_precision: str = "highest"    # NS matmul precision (see SolverStatic)
+    assemble_precision: str = "highest"  # collision-block einsum precision
     # Exact-penalty weight on collision rows: inf = hard constraints
     # (reference semantics); finite = soft rows that keep infeasible SCP
     # linearizations well-posed (bench/production mode)
@@ -162,7 +171,9 @@ class SolverConfig:
                             factor_dtype=self.factor_dtype,
                             factor_form=self.factor_form,
                             ns_iters=self.ns_iters,
-                            ns_anchor=self.ns_anchor)
+                            ns_anchor=self.ns_anchor,
+                            ns_precision=self.ns_precision,
+                            assemble_precision=self.assemble_precision)
 
     @classmethod
     def production(cls, pallas: bool | None = None) -> "SolverConfig":

@@ -97,7 +97,7 @@ def main():
                                 min_distance=R, max_iterations=15)
         cfg = SolverConfig(method="direct", eps_abs=ENGINE_EPS,
                            eps_rel=ENGINE_EPS, polish=True,
-                           polish_cg_iters=400,
+                           polish_cg_iters=1600,
                            max_iter=50000, check_interval=100)
         eng = SCPEngine(problem, cfg, dtype=jnp.float64)
         t0 = time.time()
