@@ -964,6 +964,191 @@ def apply_M(xv: StateVars, rho: RowVals, eta, E, *, h: float, sigma):
 
 
 # ---------------------------------------------------------------------------
+# Per-channel (row-wise) block assembly — for the active-set polish, where
+# the rho pattern varies per (vehicle, axis) row, not just per k
+# ---------------------------------------------------------------------------
+
+def _slot_diag_chan(n6, n2, sr, sc, vals):
+    """vals (K, n2) -> (K, n6, n6) with per-channel values on the (sr, sc)
+    slot diagonal (channel order matches ``to_stacked``: n-major, then axis).
+    """
+    K = vals.shape[0]
+    out = jnp.zeros((K, n6, n6), dtype=vals.dtype)
+    idx = jnp.arange(n2)
+    return out.at[:, sr * n2 + idx, sc * n2 + idx].set(vals)
+
+
+def _chan(leaf, n_vehicles):
+    """(N, K', 2) full rho leaf -> (K', 2N) in stacked channel order."""
+    Kp = leaf.shape[-2]
+    return jnp.swapaxes(leaf, -3, -2).reshape(Kp, 2 * n_vehicles)
+
+
+def assemble_blocks_rowwise(rho: RowVals, eta, E, *, h: float, sigma,
+                            n_vehicles: int):
+    """Like :func:`assemble_blocks`, but jerk/acc/vbox/pbox rho may vary per
+    (vehicle, axis) channel — full (N, K', 2) leaves.  Dynamics rho must
+    still be per-k ((K, 1) broadcastable leaves), which holds for the polish
+    (dynamics rows are always active with per-k scaling)."""
+    N = n_vehicles
+    n2 = 2 * N
+    n6 = 6 * N
+    h2 = h * h
+    dtype = rho.acc.dtype
+
+    rdp = _per_k(rho.dyn_p)                  # (K,) dyn rho, per-k
+    rdv = _per_k(rho.dyn_v)
+    rj = _chan(rho.jerk, N)                  # (K-1, 2N)
+    ra = _chan(rho.acc, N)
+    rv = _chan(rho.vbox, N)
+    rp = _chan(rho.pbox, N)
+
+    zero_k = jnp.zeros((), dtype)
+    rdp_next = jnp.concatenate([rdp[1:], zero_k[None]])
+    rdv_next = jnp.concatenate([rdv[1:], zero_k[None]])
+    zrow = jnp.zeros((1, n2), dtype)
+    rj_prev = jnp.concatenate([zrow, rj], axis=0)          # jerk row k-1
+    rj_here = jnp.concatenate([rj, zrow], axis=0)          # jerk row k
+
+    aa = (2.0 + sigma + (rdp * (0.25 * h2 * h2) + rdv * h2)[:, None]
+          + ra + (rj_here + rj_prev) / h2)
+    pp = (sigma + rdp + rdp_next)[:, None] + rp
+    vv = (sigma + rdv + rdv_next + rdp_next * h2)[:, None] + rv
+    ap = -0.5 * h2 * rdp
+    av = -h * rdv
+    pv = h * rdp_next
+
+    D = (_slot_diag_chan(n6, n2, 0, 0, aa)
+         + _slot_diag_chan(n6, n2, 1, 1, pp)
+         + _slot_diag_chan(n6, n2, 2, 2, vv)
+         + _slot_diag(n6, n2, 0, 1, ap) + _slot_diag(n6, n2, 1, 0, ap)
+         + _slot_diag(n6, n2, 0, 2, av) + _slot_diag(n6, n2, 2, 0, av)
+         + _slot_diag(n6, n2, 1, 2, pv) + _slot_diag(n6, n2, 2, 1, pv))
+    colM_pad = collision_blocks(rho.col, eta, E)
+    D = D.at[:, n2:2 * n2, n2:2 * n2].add(colM_pad)
+
+    # B_k: rows u_k, cols u_{k-1}; only the jerk (a, a) slot is per-channel
+    B = (_slot_diag_chan(n6, n2, 0, 0, -rj / h2)
+         + _slot_diag(n6, n2, 0, 1, 0.5 * h2 * rdp[1:])
+         + _slot_diag(n6, n2, 0, 2, 0.5 * h2 * h * rdp[1:] + h * rdv[1:])
+         + _slot_diag(n6, n2, 1, 1, -rdp[1:])
+         + _slot_diag(n6, n2, 1, 2, -h * rdp[1:])
+         + _slot_diag(n6, n2, 2, 2, -rdv[1:]))
+    return D, B
+
+
+# ---------------------------------------------------------------------------
+# Exact active-set polish (augmented Lagrangian on the banded factorization)
+# ---------------------------------------------------------------------------
+
+def polish_qp_state(lower: RowVals, upper: RowVals, eta, x: StateVars,
+                    y: RowVals, E, *, h: float, n_vehicles: int,
+                    rho_polish: float = 1e5, iters: int = 6,
+                    eps_act: float = 1e-10) -> StateVars:
+    """Refine an ADMM iterate to the exact KKT point of the QP restricted to
+    the active set the duals identify (the direct-path analogue of OSQP
+    polish; the parity contract needs per-QP exactness, docs/PARITY.md).
+
+    Unlike a CG polish on the active-set Gram system — whose iterate quality
+    is erratic on the near-singular Gram (measured: 400 vs 1600 CG
+    iterations flipped which benchmark case passed) — this runs the
+    **method of multipliers** on  min x'Px  s.t.  A_act x = b_act  with the
+    x-step solved EXACTLY by the block-tridiagonal Cholesky:
+
+        x  <-  argmin x'Px + sum_act rho/2 (A_i x - b_i + y_i/rho)^2
+        y  <-  y + rho (A_act x - b_act)
+
+    One factorization (active rows at rho_polish, inactive at _LOOSE_RHO)
+    serves every iteration; each multiplier step contracts the constraint
+    residual by ~||P|| / rho, so ``iters`` of them reach float64 machine
+    precision deterministically.  The polished point is accepted only if it
+    does not violate the INACTIVE rows (wrong active-set guard, same
+    verification OSQP applies); otherwise ``x`` is returned unchanged.
+    """
+    dtype = x.a.dtype
+    N = n_vehicles
+    K = x.a.shape[-2]
+    sigma = jnp.asarray(1e-12, dtype)
+    scaling = row_scaling_state(K, h, dtype=dtype)
+
+    def box_mask(yv, lo, up):
+        lo_act = jnp.logical_and(yv < -eps_act, jnp.isfinite(lo))
+        up_act = jnp.logical_and(yv > eps_act, jnp.isfinite(up))
+        b = jnp.where(yv < 0, lo, up)
+        m = jnp.logical_or(lo_act, up_act)
+        # equality rows (terminal vbox/pbox) are always active
+        eq = lo == up
+        return jnp.logical_or(m, eq).astype(dtype), jnp.where(
+            jnp.isfinite(b), b, 0.0)
+
+    ones = jnp.ones_like
+    mask = RowVals(dyn_p=ones(y.dyn_p), dyn_v=ones(y.dyn_v),
+                   jerk=box_mask(y.jerk, lower.jerk, upper.jerk)[0],
+                   acc=box_mask(y.acc, lower.acc, upper.acc)[0],
+                   vbox=box_mask(y.vbox, lower.vbox, upper.vbox)[0],
+                   pbox=box_mask(y.pbox, lower.pbox, upper.pbox)[0],
+                   col=box_mask(y.col, lower.col, upper.col)[0])
+    b_act = RowVals(dyn_p=lower.dyn_p, dyn_v=lower.dyn_v,
+                    jerk=box_mask(y.jerk, lower.jerk, upper.jerk)[1],
+                    acc=box_mask(y.acc, lower.acc, upper.acc)[1],
+                    vbox=box_mask(y.vbox, lower.vbox, upper.vbox)[1],
+                    pbox=box_mask(y.pbox, lower.pbox, upper.pbox)[1],
+                    col=box_mask(y.col, lower.col, upper.col)[1])
+
+    rho_p = jnp.asarray(rho_polish, dtype)
+
+    def box_rho(m, d):
+        # inactive rows drop out ENTIRELY (rho 0, not the loose ADMM rho —
+        # even 1e-6-level leakage biases the polished point by ~1e-5)
+        return jnp.where(m > 0, rho_p * d * d, 0.0) * jnp.ones_like(m)
+
+    # dynamics rows are always active (per-k scaling); box/col rows follow
+    # the per-row mask — the row-wise assembly supports exactly this split
+    rho_row = RowVals(
+        dyn_p=rho_p * scaling.dyn_p * scaling.dyn_p,
+        dyn_v=rho_p * scaling.dyn_v * scaling.dyn_v,
+        jerk=box_rho(mask.jerk, scaling.jerk),
+        acc=box_rho(mask.acc, scaling.acc),
+        vbox=box_rho(mask.vbox, scaling.vbox),
+        pbox=box_rho(mask.pbox, scaling.pbox),
+        col=box_rho(mask.col, jnp.broadcast_to(scaling.col, mask.col.shape)))
+
+    D, B = assemble_blocks_rowwise(rho_row, eta, E, h=h, sigma=sigma,
+                                   n_vehicles=N)
+    L, Eb = factorize_xla(D, B)
+
+    yal = _tmap(jnp.zeros_like, mask)
+
+    def solve_x(yal):
+        rzy = _tmap(lambda r, b, ya, m: (r * b - ya) * m, rho_row, b_act,
+                    yal, mask)
+        rhs = apply_AT(rzy, eta, E, h)
+        xs = solve_factorized(L, Eb, to_stacked(rhs))
+        return from_stacked(xs.astype(dtype), N)
+
+    x_pol = x
+    for _ in range(iters):
+        x_pol = solve_x(yal)
+        Ax = apply_A(x_pol, eta, E, h)
+        yal = _tmap(lambda ya, r, a, b, m: (ya + r * (a - b)) * m,
+                    yal, rho_row, Ax, b_act, mask)
+
+    # verification: the polished point must satisfy ALL original bounds to a
+    # small slack (a wrongly-guessed active set shows up as a violation of a
+    # row the polish ignored), and improve the worst bound violation
+    def viol(xv):
+        Ax = apply_A(xv, eta, E, h)
+        v = _tmap(lambda a, lo, up, d: jnp.maximum(
+            jnp.maximum(jnp.where(jnp.isfinite(lo), (lo - a) * d, 0.0),
+                        jnp.where(jnp.isfinite(up), (a - up) * d, 0.0)), 0.0),
+            Ax, lower, upper, scaling)
+        return _inf_norm(v)
+
+    ok = viol(x_pol) <= jnp.maximum(viol(x), jnp.asarray(1e-9, dtype))
+    return _tmap(lambda a, b: jnp.where(ok, a, b), x_pol, x)
+
+
+# ---------------------------------------------------------------------------
 # ADMM loop with exact x-updates
 # ---------------------------------------------------------------------------
 

@@ -367,48 +367,6 @@ def _warm_state(a, p0, v0, h):
     return StateVars(a=a, p=p_var, v=v_var)
 
 
-def _polish_direct(a, y_state, eta, col_lower, p0, v0, pf, vf, col_mask, *,
-                   pairs: PairIndex, problem: ProblemConfig,
-                   solver: SolverStatic, params: SolverParams):
-    """Active-set KKT polish of a direct-path QP solution (VERDICT r2 #1).
-
-    The state-space and acceleration-space formulations are the same QP with
-    dynamics enforced vs. eliminated, so the constraint active set — and the
-    dual signs that identify it — transfer one-to-one (jerk/acc rows are
-    identical; vbox/pbox rows are the vel/pos rows composed with the exact
-    rollout; collision rows likewise).  The oracle
-    (tests/oracles/reference_math.py:solve_qp_admm) polishes every QP to a
-    near-exact KKT point; without a matching polish the engine's ~eps-level
-    QP errors are amplified past 1e-3 by the SCP re-linearizations
-    (docs/parity_full.json, round 2).  P is singular on the p/v slots in
-    state space, so the min-norm polish runs in accel space where P = 2I
-    (``admm._polish``), on the accel-space bounds with the rollout offsets
-    folded in (scp.py:205-257, 536-550).
-
-    ``col_lower`` is the ACCEL-space collision RHS (from
-    ``collision_lower_bounds``); pass ``col_mask=0.0`` with any placeholder
-    for the collision-free initial QP.
-    """
-    from .admm import _polish
-
-    N, K = problem.n_vehicles, problem.n_steps
-    h = problem.time_step
-    dtype = a.dtype
-    lo_s, up_s = static_bounds(p0, v0, pf, vf, n_vehicles=N, n_steps=K, h=h,
-                               limits=problem.limits)
-    col_up = jnp.full_like(col_lower, jnp.inf)
-    data = QPData(eta=eta, col_mask=jnp.asarray(col_mask, dtype),
-                  lower=ConstraintBlocks(col=col_lower, **lo_s),
-                  upper=ConstraintBlocks(col=col_up, **up_s))
-    y_acc = ConstraintBlocks(jerk=y_state.jerk, acc=y_state.acc,
-                             vel=y_state.vbox, pos=y_state.pbox,
-                             col=y_state.col)
-    zero = jnp.asarray(0.0, dtype)
-    x_pol, _, _ = _polish(a, y_acc, data, pairs.E, None, h=h, static=solver,
-                          params=params, prim0=zero, dual0=zero)
-    return x_pol
-
-
 class SCPCarry(NamedTuple):
     """Resumable per-scenario SCP loop state.
 
@@ -456,15 +414,9 @@ def _direct_body(p0, v0, key, lower_s, upper_s, *, params: SolverParams,
                             axis_name=axis_name)
         a_new = qp.x.a
         if solver.polish and axis_name is None:
-            K = a_new.shape[-2]
-            pf = upper_s.pbox[..., K - 1, :]
-            vf = upper_s.vbox[..., K - 1, :]
-            col_lo_acc = collision_lower_bounds(
-                eta, dist, prev_pos, p0, v0, pairs, h=h,
-                min_distance=R + params.col_margin)
-            a_new = _polish_direct(a_new, qp.y, eta, col_lo_acc, p0, v0, pf,
-                                   vf, 1.0, pairs=pairs, problem=problem,
-                                   solver=solver, params=params)
+            from .banded import polish_qp_state
+            a_new = polish_qp_state(lower_it, upper_s, eta, qp.x, qp.y,
+                                    pairs.E, h=h, n_vehicles=N).a
         # Divergence guard: an infeasible linearization can blow the ADMM
         # iterates up (the dual grows unboundedly).  Any valid QP solution
         # respects the acceleration box, so an iterate far outside it marks a
@@ -529,10 +481,9 @@ def _scp_start_direct(p0, v0, pf, vf, key, *, params: SolverParams,
                          axis_name=axis_name)
     a = qp0.x.a
     if solver.polish and axis_name is None:
-        col_lo_off = jnp.full((K, P), -jnp.inf, dtype=dtype)
-        a = _polish_direct(a, qp0.y, eta0, col_lo_off, p0, v0, pf, vf, 0.0,
-                           pairs=pairs, problem=problem, solver=solver,
-                           params=params)
+        from .banded import polish_qp_state
+        a = polish_qp_state(lower_s, upper_s, eta0, qp0.x, qp0.y, pairs.E,
+                            h=h, n_vehicles=N).a
 
     pos_init, _ = rollout(a, p0, v0, h)
     feasible_initial = check_feasible(pos_init, pairs, R, axis_name)

@@ -29,7 +29,7 @@ from ba_path_planning_tpu.scenarios import generate_scenario_batch
 
 K, h, R = 50, 0.2, 0.8
 MAX_ITERATIONS = 15
-ORACLE_VERSION = 3
+ORACLE_VERSION = 4
 CACHE_DIR = "docs/parity_oracle_cache"
 
 

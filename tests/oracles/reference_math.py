@@ -280,15 +280,21 @@ def solve_qp(A: np.ndarray, l: np.ndarray, u: np.ndarray,
 def solve_qp_admm(A: np.ndarray, l: np.ndarray, u: np.ndarray,
                   x0: np.ndarray | None = None, *, rho: float = 0.1,
                   sigma: float = 1e-6, alpha: float = 1.6,
-                  eps: float = 1e-8, max_iter: int = 50000,
+                  eps: float = 1e-6, max_iter: int = 50000,
                   polish: bool = True) -> np.ndarray:
     """min x'x s.t. l <= Ax <= u, unique optimum (P = 2I, scp.py:329/407).
 
     ADMM exactly in OSQP's form (the reference's backend, scp.py:326-365):
     per-row rho with the 1e3 boost on equality rows, over-relaxed updates,
-    termination on primal/dual residuals.  A final active-set polish solves
-    the equality-constrained KKT system on the identified active rows, which
-    for this strictly convex objective recovers the exact optimum.
+    termination on primal/dual residuals — followed by **staged active-set
+    refinement to a certified optimum**: refinement (exact min-norm solve on
+    the current active set + textbook drop/add repairs) either terminates
+    with a KKT certificate (primal feasibility <= 1e-9 and multiplier
+    signs), or ADMM is CONTINUED from its current state at 10x tighter eps
+    and refinement retried.  A silent uncertified fallback is exactly the
+    failure mode that broke benchmark-scale SCP parity (a single ~1e-6
+    uncertified QP amplifies ~1000x across re-linearizations, docs/PARITY.md),
+    so stages tighten down to 1e-10 before giving up loudly.
     """
     A = np.asarray(A, dtype=np.float64)
     l = np.asarray(l, dtype=np.float64)
@@ -312,98 +318,104 @@ def solve_qp_admm(A: np.ndarray, l: np.ndarray, u: np.ndarray,
         return rv, sla.cho_factor(M)
 
     rho_vec, cf = factor(rho)
-    for it in range(max_iter):
-        rhs = sigma * x + A.T @ (rho_vec * z - y)
-        x_t = sla.cho_solve(cf, rhs)
-        z_t = A @ x_t
-        x_new = alpha * x_t + (1 - alpha) * x
-        z_mix = alpha * z_t + (1 - alpha) * z
-        z_new = np.clip(z_mix + y / rho_vec, l, u)
-        y = y + rho_vec * (z_mix - z_new)
-        x, z = x_new, z_new
-        if it % 25 == 24:
-            Ax = A @ x
-            Aty = A.T @ y
-            r_prim = np.max(np.abs(Ax - z))
-            r_dual = np.max(np.abs(2 * x + Aty))
-            scale_p = max(np.max(np.abs(Ax)), np.max(np.abs(z)), 1.0)
-            scale_d = max(np.max(np.abs(2 * x)), np.max(np.abs(Aty)), 1.0)
-            if r_prim <= eps * scale_p and r_dual <= eps * scale_d:
-                break
-            # OSQP-style residual-balancing rho adaptation (refactorize only
-            # on a > 5x change, every 100 iterations at most)
-            if it % 100 == 99:
-                ratio = (r_prim / scale_p) / max(r_dual / scale_d, 1e-16)
-                rho_new = float(np.clip(rho * np.sqrt(ratio), 1e-6, 1e6))
-                if rho_new > 5 * rho or rho_new < rho / 5:
-                    rho = rho_new
-                    rho_vec, cf = factor(rho)
 
-    if not polish:
-        return x
-
-    # Active-set refinement to the EXACT optimum.  The ADMM iterate only has
-    # to propose a starting active set; each round solves the min-norm
-    # equality-constrained problem on the current set exactly, then repairs
-    # the set with the two textbook active-set moves: drop rows whose
-    # multiplier has the wrong sign (they should not bind) and add rows the
-    # candidate violates.  On a nondegenerate QP this terminates at the true
-    # active set, where primal feasibility and multiplier signs certify the
-    # global optimum to machine precision — per-QP exactness is what the
-    # benchmark-scale SCP parity needs (per-QP errors of ~1e-6 amplify past
-    # the 1e-3 gate across re-linearizations; see docs/PARITY.md).
-    tol_act = 1e-7 * max(1.0, np.max(np.abs(z)))
-    low_act = (z - l <= tol_act) & (y < -1e-10)
-    upp_act = (u - z <= tol_act) & (y > 1e-10)
-    eq = np.isclose(l, u)
-    low_act = low_act & ~eq
-    upp_act = upp_act & ~eq
-    if not np.any(low_act | upp_act | eq):
-        return x
+    def admm_continue(x, z, y, eps_stage, iters):
+        nonlocal rho, rho_vec, cf
+        for it in range(iters):
+            rhs = sigma * x + A.T @ (rho_vec * z - y)
+            x_t = sla.cho_solve(cf, rhs)
+            z_t = A @ x_t
+            x_new = alpha * x_t + (1 - alpha) * x
+            z_mix = alpha * z_t + (1 - alpha) * z
+            z_new = np.clip(z_mix + y / rho_vec, l, u)
+            y = y + rho_vec * (z_mix - z_new)
+            x, z = x_new, z_new
+            if it % 25 == 24:
+                Ax = A @ x
+                Aty = A.T @ y
+                r_prim = np.max(np.abs(Ax - z))
+                r_dual = np.max(np.abs(2 * x + Aty))
+                scale_p = max(np.max(np.abs(Ax)), np.max(np.abs(z)), 1.0)
+                scale_d = max(np.max(np.abs(2 * x)), np.max(np.abs(Aty)), 1.0)
+                if r_prim <= eps_stage * scale_p and r_dual <= eps_stage * scale_d:
+                    break
+                # OSQP-style residual-balancing rho adaptation (refactorize
+                # only on a > 5x change, every 100 iterations at most)
+                if it % 100 == 99:
+                    ratio = (r_prim / scale_p) / max(r_dual / scale_d, 1e-16)
+                    rho_new = float(np.clip(rho * np.sqrt(ratio), 1e-6, 1e6))
+                    if rho_new > 5 * rho or rho_new < rho / 5:
+                        rho = rho_new
+                        rho_vec, cf = factor(rho)
+        return x, z, y
 
     def solve_minnorm(act, on_upper):
         A_act = A[act]
         b_act = np.where(on_upper[act], u[act], l[act])
-        G = A_act @ A_act.T
-        G[np.diag_indices_from(G)] += 1e-13 * max(1.0, np.trace(G) / len(G))
+        Gm = A_act @ A_act.T
+        Gm[np.diag_indices_from(Gm)] += 1e-13 * max(1.0, np.trace(Gm) / len(Gm))
         try:
-            cf_g = sla.cho_factor(G)
+            cf_g = sla.cho_factor(Gm)
             lam = sla.cho_solve(cf_g, b_act)
             x_p = A_act.T @ lam
             lam += sla.cho_solve(cf_g, b_act - A_act @ x_p)
         except np.linalg.LinAlgError:
-            lam = np.linalg.lstsq(G, b_act, rcond=None)[0]
+            lam = np.linalg.lstsq(Gm, b_act, rcond=None)[0]
         x_p = A_act.T @ lam
         return x_p, lam
 
-    best, best_viol = x, np.inf
-    sign_tol = 1e-9
-    for _ in range(8):
-        act = low_act | upp_act | eq
-        if not np.any(act):
-            break
-        x_pol, lam = solve_minnorm(act, upp_act)
-        # multipliers of min x'x s.t. A_act x = b: x = A_act' lam, and the
-        # KKT stationarity 2x - A' y = 0 gives y_act = 2 lam; a lower-bound
-        # row needs y < 0 (lam < 0), an upper-bound row y > 0
-        lam_full = np.zeros(m)
-        lam_full[act] = lam
-        drop_low = low_act & (lam_full > sign_tol)
-        drop_upp = upp_act & (lam_full < -sign_tol)
-        r_low = l - A @ x_pol
-        r_upp = A @ x_pol - u
-        viol = max(np.max(r_low, initial=0.0), np.max(r_upp, initial=0.0))
-        if viol < best_viol and x_pol @ x_pol <= x @ x + 1e-7 * max(1.0, x @ x):
-            best, best_viol = x_pol, viol
-        add_low = (r_low > 1e-10) & ~low_act & ~eq
-        add_upp = (r_upp > 1e-10) & ~upp_act & ~eq
-        if (not np.any(drop_low | drop_upp | add_low | add_upp)
-                and viol <= 1e-9):
-            return x_pol                    # certified optimal
-        low_act = (low_act & ~drop_low) | add_low
-        upp_act = (upp_act & ~drop_upp) | add_upp
+    def refine(x, z, y, rounds=20):
+        """Active-set refinement: returns (x_certified_or_best, certified)."""
+        sign_tol = 1e-9
+        tol_act = 1e-7 * max(1.0, np.max(np.abs(z)))
+        low_act = (z - l <= tol_act) & (y < -1e-10) & ~eq
+        upp_act = (u - z <= tol_act) & (y > 1e-10) & ~eq
+        if not np.any(low_act | upp_act | eq):
+            return x, False
+        best, best_viol = x, np.inf
+        for _ in range(rounds):
+            act = low_act | upp_act | eq
+            if not np.any(act):
+                break
+            x_pol, lam = solve_minnorm(act, upp_act)
+            # multipliers of min x'x s.t. A_act x = b: x = A_act' lam; the
+            # KKT stationarity 2x - A' y = 0 gives y_act = 2 lam; a
+            # lower-bound row needs lam < 0, an upper-bound row lam > 0
+            lam_full = np.zeros(m)
+            lam_full[act] = lam
+            drop_low = low_act & (lam_full > sign_tol)
+            drop_upp = upp_act & (lam_full < -sign_tol)
+            r_low = l - A @ x_pol
+            r_upp = A @ x_pol - u
+            viol = max(np.max(r_low, initial=0.0), np.max(r_upp, initial=0.0))
+            if viol < best_viol and x_pol @ x_pol <= x @ x + 1e-7 * max(
+                    1.0, x @ x):
+                best, best_viol = x_pol, viol
+            add_low = (r_low > 1e-10) & ~low_act & ~eq
+            add_upp = (r_upp > 1e-10) & ~upp_act & ~eq
+            if (not np.any(drop_low | drop_upp | add_low | add_upp)
+                    and viol <= 1e-9):
+                return x_pol, True              # certified optimal
+            low_act = (low_act & ~drop_low) | add_low
+            upp_act = (upp_act & ~drop_upp) | add_upp
+        return (best if best_viol <= 1e-6 else x), False
 
-    # no certificate: fall back to the best verified candidate, else ADMM x
-    if best_viol <= 1e-6:
-        return best
-    return x
+    budget = max_iter
+    x, z, y = admm_continue(x, z, y, eps, budget)
+    if not polish:
+        return x
+
+    eps_stage = eps
+    for _ in range(5):
+        x_ref, certified = refine(x, z, y)
+        if certified:
+            return x_ref
+        if eps_stage <= 1e-10:
+            break
+        eps_stage = eps_stage * 0.1
+        x, z, y = admm_continue(x, z, y, eps_stage, budget)
+    import sys as _sys
+    print("WARNING: solve_qp_admm refinement uncertified at eps "
+          f"{eps_stage:g}; returning best verified candidate",
+          file=_sys.stderr)
+    return x_ref
