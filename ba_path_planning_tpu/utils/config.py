@@ -211,7 +211,8 @@ class SolverConfig:
         return cls(method="direct", pallas=pallas, rho=2.6, max_iter=25,
                    check_interval=25, collision_margin=0.13, polish=False,
                    adaptive_rho=False, factor_form="X", ns_iters=2,
-                   alpha=1.9, col_rho_boost=2.5)
+                   alpha=1.9, col_rho_boost=2.5,
+                   assemble_precision="default")
 
     @classmethod
     def latency(cls, pallas: bool | None = None) -> "SolverConfig":

@@ -48,8 +48,8 @@ print("soak:", r, flush=True)
 rec["soak"] = r
 
 # N sweep on one chip (batch scaled down as pair count grows)
-for N, B, chunk in [(10, 1024, 512), (20, 1024, 512), (30, 256, 128),
-                    (40, 128, 64)]:
+for N, B, chunk in [(10, 1024, 512), (20, 1024, 512), (30, 512, 128),
+                    (40, 1024, 128)]:
     r = run_cfg(N, B, chunk)
     print("nsweep:", r, flush=True)
     rec["n_sweep"].append(r)
