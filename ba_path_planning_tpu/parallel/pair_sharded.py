@@ -29,11 +29,22 @@ Semantics are shared with the unsharded engine down to the same functions:
 from __future__ import annotations
 
 
+import inspect
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
+
+# JAX renamed shard_map's replication-check kwarg: check_rep (<=0.8) ->
+# check_vma (>=0.9). We disable it either way: the solver's outputs are
+# made replicated by explicit psum reductions, which the static checker
+# cannot always prove.
+if "check_vma" in inspect.signature(shard_map).parameters:
+    _NOCHECK = {"check_vma": False}
+else:  # pragma: no cover - older JAX
+    _NOCHECK = {"check_rep": False}
 
 from ..ops.collisions import PairIndex
 from ..solvers.admm import make_solver_params
@@ -122,7 +133,7 @@ class PairShardedSCPSolver:
         self._solve = jax.jit(shard_map(
             solve_fn, mesh=self.mesh,
             in_specs=(rep, rep, rep, rep, rep, pspecs),
-            out_specs=rep, check_rep=False))
+            out_specs=rep, **_NOCHECK))
 
     def solve(self, p0, v0, pf, vf, key=None) -> SCPResult:
         """p0/v0/pf/vf: (N, 2) single large-N scenario."""
