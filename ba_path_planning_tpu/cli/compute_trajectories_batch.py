@@ -104,7 +104,11 @@ def run_batch_for_n(n: int, cfg: dict, dtype, solver_kind: str = "production",
         n_vehicles=n, time_horizon=cfg["time_horizon"],
         time_step=cfg["time_step"], min_distance=cfg["min_distance"],
         space_dims=tuple(cfg["space_dims"]),
-        max_iterations=cfg["max_iterations"], stop_mode=stop_mode)
+        max_iterations=cfg["max_iterations"], stop_mode=stop_mode,
+        # exact terminal projection in goal-directed mode: the emitted
+        # trajectory hits p[K]=pf to float roundoff (reference semantics:
+        # hard terminal equality, scp.py:242-257)
+        goal_project=(stop_mode == "feasible"))
 
     trials = int(cfg["trials_per_N"])
     mesh = make_mesh()
@@ -170,12 +174,16 @@ def run_batch_for_n(n: int, cfg: dict, dtype, solver_kind: str = "production",
     # spread reflects the real per-scenario convergence heterogeneity the
     # reference's sequential harness measured directly
     # (compute_trajectories_batch.py:46-66).
+    # The sum-to-wall invariant holds over the REPORTED rows: padding lanes
+    # (duplicated active scenarios rounding the batch up to the device
+    # count) are excluded from the weights, so the whole wall time is
+    # distributed across the `trials` emitted rows (ADVICE r3).
     iters = np.asarray(res.iterations, dtype=float)
     loop_s = float(timing.get("loop_s", 0.0))
     base_s = max(wall - loop_s, 0.0)
-    weight_sum = float(iters.sum())
+    weight_sum = float(iters[:trials].sum())
     per_iter = loop_s / weight_sum if weight_sum > 0 else 0.0
-    time_sec = base_s / padded + per_iter * iters
+    time_sec = base_s / trials + per_iter * iters
     rows = []
     for t in range(trials):
         gen_ok = bool(ok[t])

@@ -74,6 +74,45 @@ class DoubleIntegrator2D:
         vK = velocities[..., -1, :] + h * accelerations[..., -1, :]
         return pK, vK
 
+    def goal_projection(self, accelerations, p0, v0, pf, vf):
+        """Minimal-norm acceleration correction enforcing the terminal
+        equalities ``p[K] = pf``, ``v[K] = vf`` EXACTLY (closed form).
+
+        The reference enforces the terminal rows as hard QP equalities
+        (scp.py:242-257); a fixed-budget ADMM solve leaves them satisfied
+        only to solver tolerance (cm-level).  Both terminal maps are linear
+        in the accelerations — per (vehicle, axis) with c1[j] = h and
+        c2[j] = h^2 (K - j - 0.5):
+
+            v[K] = v0 + c1 . a        p[K] = p0 + K h v0 + c2 . a
+
+        so the least-norm correction is da = G^T (G G^T)^{-1} r with
+        G = [c1; c2] (2 x K) and r the terminal residual.  G G^T is a
+        constant 2x2, inverted once at trace time in float64.  O(K) work
+        per vehicle — vanishing next to one ADMM iteration.
+
+        accelerations: (..., K, 2); p0/v0/pf/vf: (..., 2) broadcastable.
+        Returns corrected accelerations of the same shape.
+        """
+        K, h = self.n_steps, self.time_step
+        dtype = accelerations.dtype
+        c2_np = (h * h) * (K - np.arange(K) - 0.5)          # (K,)
+        g11 = K * h * h
+        g12 = float(h * c2_np.sum())
+        g22 = float((c2_np * c2_np).sum())
+        det = g11 * g22 - g12 * g12
+        i11, i12, i22 = g22 / det, -g12 / det, g11 / det
+        c2 = jnp.asarray(c2_np, dtype)
+
+        a = accelerations
+        vK = v0 + h * jnp.sum(a, axis=-2)
+        pK = p0 + (K * h) * v0 + jnp.sum(c2[:, None] * a, axis=-2)
+        r_v = vf - vK                                        # (..., 2)
+        r_p = pf - pK
+        alpha = i11 * r_v + i12 * r_p
+        beta = i12 * r_v + i22 * r_p
+        return a + h * alpha[..., None, :] + c2[:, None] * beta[..., None, :]
+
     def max_displacement(self, vel_max: float, acc_max: float) -> float:
         """Upper bound on reachable PER-AXIS displacement from rest to rest
         over the horizon — a cheap scenario pre-feasibility screen.  The

@@ -264,9 +264,10 @@ class ShardedSCPSolver:
         # dispatch instead of B/chunk chunked ones
         max_fin = max(chunk, 16384 * self.n_devices)
         if B <= max_fin:
-            return finalize_c(carry, p0, v0)
+            return finalize_c(carry, p0, v0, pf, vf)
         results = []
         for lo in range(0, B, max_fin):
-            sl = jax.tree.map(lambda x: x[lo:lo + max_fin], (carry, p0, v0))
+            sl = jax.tree.map(lambda x: x[lo:lo + max_fin],
+                              (carry, p0, v0, pf, vf))
             results.append(finalize_c(*sl))
         return jax.tree.map(lambda *xs: jnp.concatenate(xs), *results)

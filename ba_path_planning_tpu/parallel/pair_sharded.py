@@ -124,7 +124,8 @@ class PairShardedSCPSolver:
                                      params=self.params, pairs=pairs_local,
                                      problem=problem, solver=static,
                                      axis_name=axis_name)
-            res = _scp_finalize_direct(carry, p0, v0, pairs=pairs_local,
+            res = _scp_finalize_direct(carry, p0, v0, pf, vf,
+                                       pairs=pairs_local,
                                        problem=problem, axis_name=axis_name)
             # y (dual rows) stays sharded internally; the public result is
             # fully replicated

@@ -98,7 +98,7 @@ class SCPEngine:
         """Resumable pieces of the direct path (un-jitted closures), for the
         compacting batch driver: ``start(p0,v0,pf,vf,key) -> carry``,
         ``step(carry, p0,v0,pf,vf, key, it_cap) -> carry``,
-        ``finalize(carry, p0, v0) -> SCPResult``."""
+        ``finalize(carry, p0, v0, pf, vf) -> SCPResult``."""
         if self.solver_static.method != "direct":
             raise NotImplementedError(
                 "resumable SCP requires the direct (state-space) solver")
@@ -154,7 +154,9 @@ def _scp_solve(p0, v0, pf, vf, key, *, params: SolverParams,
                         static=solver)
     a = qp0.x
 
-    pos_init, _ = rollout(a, p0, v0, h)
+    a_chk = (_goal_projected(a, p0, v0, pf, vf, problem)
+             if problem.goal_project else a)
+    pos_init, _ = rollout(a_chk, p0, v0, h)
     feasible_initial = check_feasible(pos_init, pairs, R)
 
     # ---- phase 2: SCP iterations (scp.py:152-166)
@@ -191,7 +193,9 @@ def _scp_solve(p0, v0, pf, vf, key, *, params: SolverParams,
         rel_step = step / denom
         converged = rel_step <= problem.convergence_tolerance
         if goal_feasible:
-            new_pos, _ = rollout(a_new, p0, v0, h)
+            a_stop = (_goal_projected(a_new, p0, v0, pf, vf, problem)
+                      if problem.goal_project else a_new)
+            new_pos, _ = rollout(a_stop, p0, v0, h)
             stop = check_feasible(new_pos, pairs, R)
         else:
             stop = converged
@@ -211,6 +215,11 @@ def _scp_solve(p0, v0, pf, vf, key, *, params: SolverParams,
         jax.lax.while_loop(cond, body, init)
 
     # ---- final rollout (scp.py:168-180)
+    if problem.goal_project:
+        a_proj = _goal_projected(a, p0, v0, pf, vf, problem)
+        pos_p, _ = rollout(a_proj, p0, v0, h)
+        feas_p = check_feasible(pos_p, pairs, R)
+        a = jnp.where(feas_p, a_proj, a)
     positions, velocities = rollout(a, p0, v0, h)
     feasible_final = check_feasible(positions, pairs, R)
 
@@ -386,7 +395,16 @@ class SCPCarry(NamedTuple):
     feasible_initial: jnp.ndarray  # bool: pre-loop feasibility (scp.py:144)
 
 
-def _direct_body(p0, v0, key, lower_s, upper_s, *, params: SolverParams,
+def _goal_projected(a, p0, v0, pf, vf, problem: ProblemConfig):
+    """Exact terminal-equality projection (see ProblemConfig.goal_project)."""
+    from ..models.double_integrator import DoubleIntegrator2D
+    model = DoubleIntegrator2D(n_steps=problem.n_steps,
+                               time_step=problem.time_step)
+    return model.goal_projection(a, p0, v0, pf, vf)
+
+
+def _direct_body(p0, v0, pf, vf, key, lower_s, upper_s, *,
+                 params: SolverParams,
                  pairs: PairIndex, problem: ProblemConfig,
                  solver: SolverStatic, axis_name: str | None = None):
     """One SCP iteration of the direct (state-space) path as a function of
@@ -432,7 +450,13 @@ def _direct_body(p0, v0, key, lower_s, upper_s, *, params: SolverParams,
         rel_step = step / denom
         converged = rel_step <= problem.convergence_tolerance
         if goal_feasible:
-            new_pos, _ = rollout(a_new, p0, v0, h)
+            # with goal_project the lane only stops once the PROJECTED
+            # (exact-terminal) trajectory is collision-free — goal-missing
+            # lanes keep iterating (warm-started, so accumulated ADMM work
+            # keeps shrinking the needed correction)
+            a_stop = (_goal_projected(a_new, p0, v0, pf, vf, problem)
+                      if problem.goal_project else a_new)
+            new_pos, _ = rollout(a_stop, p0, v0, h)
             stop = check_feasible(new_pos, pairs, R, axis_name)
         else:
             stop = converged
@@ -485,7 +509,11 @@ def _scp_start_direct(p0, v0, pf, vf, key, *, params: SolverParams,
         a = polish_qp_state(lower_s, upper_s, eta0, qp0.x, qp0.y, pairs.E,
                             h=h, n_vehicles=N).a
 
-    pos_init, _ = rollout(a, p0, v0, h)
+    # under goal_project, "feasible" means the projected (exact-terminal)
+    # initial guess is collision-free — otherwise the loop must run
+    a_chk = (_goal_projected(a, p0, v0, pf, vf, problem)
+             if problem.goal_project else a)
+    pos_init, _ = rollout(a_chk, p0, v0, h)
     feasible_initial = check_feasible(pos_init, pairs, R, axis_name)
     return SCPCarry(a=a, y=qp0.y, it=jnp.int32(0), converged=jnp.asarray(False),
                     stop=jnp.asarray(False),
@@ -511,7 +539,7 @@ def _scp_step_direct(carry: SCPCarry, p0, v0, pf, vf, key, it_cap, *,
     lower_s, upper_s = build_bounds(p0, v0, pf, vf, n_vehicles=N, n_steps=K,
                                     h=problem.time_step,
                                     limits=problem.limits, n_pairs=P)
-    body = _direct_body(p0, v0, key, lower_s, upper_s, params=params,
+    body = _direct_body(p0, v0, pf, vf, key, lower_s, upper_s, params=params,
                         pairs=pairs, problem=problem, solver=solver,
                         axis_name=axis_name)
     cap = jnp.minimum(jnp.asarray(it_cap, jnp.int32),
@@ -520,12 +548,26 @@ def _scp_step_direct(carry: SCPCarry, p0, v0, pf, vf, key, it_cap, *,
 
 
 @partial(jax.jit, static_argnames=("problem", "axis_name"))
-def _scp_finalize_direct(carry: SCPCarry, p0, v0, *, pairs: PairIndex,
-                         problem: ProblemConfig,
+def _scp_finalize_direct(carry: SCPCarry, p0, v0, pf=None, vf=None, *,
+                         pairs: PairIndex, problem: ProblemConfig,
                          axis_name: str | None = None) -> SCPResult:
-    """Final rollout + status codes from a finished carry (scp.py:168-180)."""
+    """Final rollout + status codes from a finished carry (scp.py:168-180).
+
+    With ``problem.goal_project`` the emitted trajectory is the
+    exact-terminal projection of the iterate whenever that projection is
+    collision-free (per scenario), else the raw iterate — terminal goal
+    error collapses to float roundoff without ever trading away a
+    collision-free solve."""
     h = problem.time_step
-    positions, velocities = rollout(carry.a, p0, v0, h)
+    a_out = carry.a
+    if problem.goal_project:
+        if pf is None or vf is None:
+            raise ValueError("goal_project finalize requires pf and vf")
+        a_proj = _goal_projected(carry.a, p0, v0, pf, vf, problem)
+        pos_p, _ = rollout(a_proj, p0, v0, h)
+        feas_p = check_feasible(pos_p, pairs, problem.min_distance, axis_name)
+        a_out = jnp.where(feas_p, a_proj, carry.a)
+    positions, velocities = rollout(a_out, p0, v0, h)
     feasible_final = check_feasible(positions, pairs, problem.min_distance,
                                     axis_name)
     # status reflects the active stopping rule: in "feasible" mode, stopping
@@ -535,7 +577,7 @@ def _scp_finalize_direct(carry: SCPCarry, p0, v0, *, pairs: PairIndex,
         carry.feasible_initial, STATUS_FEASIBLE_INITIAL,
         jnp.where(carry.stop, STATUS_CONVERGED, STATUS_MAX_ITERS))
     return SCPResult(positions=positions, velocities=velocities,
-                     accelerations=carry.a, iterations=carry.it,
+                     accelerations=a_out, iterations=carry.it,
                      status=status.astype(jnp.int32),
                      converged=carry.converged,
                      feasible_initial=carry.feasible_initial,
@@ -561,4 +603,5 @@ def _scp_solve_direct(p0, v0, pf, vf, key, *, params: SolverParams,
                              jnp.int32(problem.max_iterations),
                              params=params, pairs=pairs, problem=problem,
                              solver=solver)
-    return _scp_finalize_direct(carry, p0, v0, pairs=pairs, problem=problem)
+    return _scp_finalize_direct(carry, p0, v0, pf, vf, pairs=pairs,
+                                problem=problem)

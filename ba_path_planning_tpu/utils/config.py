@@ -46,6 +46,14 @@ class ProblemConfig:
     #     collision-free (or max_iterations) — goal-directed; usually exits
     #     earlier AND yields far more collision-free solutions
     stop_mode: str = "reference"
+    # Exact terminal-equality projection ("goal polish"): close the terminal
+    # residual a fixed-budget ADMM solve leaves on the hard equality rows
+    # (scp.py:242-257) with the closed-form least-norm acceleration
+    # correction (DoubleIntegrator2D.goal_projection).  The stop rule and
+    # the final output both use the projected iterate, falling back to the
+    # raw iterate per scenario if the projection breaks collision
+    # feasibility.  Off by default (reference semantics untouched).
+    goal_project: bool = False
     vel_min: float = -2.0
     vel_max: float = 2.0
     acc_min: float = -15.0

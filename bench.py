@@ -32,7 +32,7 @@ def main():
 
     problem = ProblemConfig(n_vehicles=20, time_horizon=10.0, time_step=0.2,
                             min_distance=0.8, max_iterations=15,
-                            stop_mode="feasible")
+                            stop_mode="feasible", goal_project=True)
     # state-space direct solver (block-tridiagonal exact x-updates) with
     # constraint tightening; produces ~100% collision-free trajectories
     solver = SolverConfig.production()
