@@ -17,6 +17,7 @@ from ba_path_planning_tpu.solvers import banded
 from ba_path_planning_tpu.solvers.admm import make_solver_params
 from ba_path_planning_tpu.solvers.banded import RowVals
 from ba_path_planning_tpu.utils import Limits, ProblemConfig, SolverConfig
+import pytest
 
 
 def _rand_rowvals(rng, N, K, P, dtype=jnp.float32):
@@ -116,6 +117,7 @@ def _solve_pair(N, K, fused, B=3, max_iter=24, seed=3):
     return jax.vmap(one)(p0, v0, pf, eta, dist, pos)
 
 
+@pytest.mark.slow
 def test_fused_interval_matches_xla_path():
     base = _solve_pair(4, 10, fused=False)
     fused = _solve_pair(4, 10, fused=True)
@@ -130,6 +132,7 @@ def test_fused_interval_matches_xla_path():
                                   np.asarray(base.iters))
 
 
+@pytest.mark.slow
 def test_scp_direct_fused_end_to_end():
     """Full SCP with the fused kernel: same trajectories as the plain path."""
     from ba_path_planning_tpu.solvers.scp import SCPEngine

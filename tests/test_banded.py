@@ -15,6 +15,7 @@ from ba_path_planning_tpu.solvers.banded import (RowVals, StateVars, apply_A,
                                                  solve_qp_state, to_stacked)
 from ba_path_planning_tpu.solvers.admm import make_solver_params
 from ba_path_planning_tpu.utils import Limits, SolverConfig
+import pytest
 
 
 def _rand_state(rng, N, K):
@@ -79,6 +80,7 @@ def _mk_problem(N, K, h, seed=0, with_col=True):
     return pairs, p0, v0, pf, vf, lower, upper, eta
 
 
+@pytest.mark.slow
 def test_assembled_blocks_match_operator():
     """D/B block application == P + sigma I + A^T rho A as operators."""
     N, K, h = 3, 6, 0.2
@@ -99,6 +101,7 @@ def test_assembled_blocks_match_operator():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-10)
 
 
+@pytest.mark.slow
 def test_factorize_solve_roundtrip():
     N, K, h = 3, 6, 0.2
     P = N * (N - 1) // 2
@@ -125,6 +128,7 @@ def test_stacking_roundtrip():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_state_qp_matches_v1_solver():
     """Same QP solved in acceleration space (v1) and state space (v2)."""
     from ba_path_planning_tpu.ops import (static_bounds, linearize,
@@ -189,6 +193,7 @@ def test_state_qp_matches_v1_solver():
     assert int(v2.iters) < int(v1.iters)
 
 
+@pytest.mark.slow
 def test_scp_direct_end_to_end():
     """Full SCP with the direct solver: crossing scenario, collision-free."""
     from ba_path_planning_tpu.solvers.scp import SCPEngine
@@ -215,6 +220,7 @@ def test_scp_direct_end_to_end():
                                np.asarray(res_cg.positions), atol=5e-3)
 
 
+@pytest.mark.slow
 def test_scp_direct_matches_oracle_scp():
     """Direct-solver SCP vs the dense scipy oracle at reference control flow
     (three vehicles forced through a shared corridor)."""
@@ -240,6 +246,7 @@ def test_scp_direct_matches_oracle_scp():
                                atol=2e-3)
 
 
+@pytest.mark.slow
 def test_channel_factorization_matches_full():
     """No-collision system: the shared (K, 3, 3) channel factorization must
     reproduce the full (6N)^2 block-tridiagonal solve exactly."""
@@ -284,6 +291,7 @@ def test_channel_factorization_matches_full():
                                rtol=1e-9, atol=1e-11)
 
 
+@pytest.mark.slow
 def test_qp_channel_phase_matches_full_phase():
     """solve_qp_state with col_enabled=False (channel path) must agree with
     the full path on a collision-disabled QP."""

@@ -15,7 +15,8 @@ def _spd(key, b, n, scale=1.0):
             + scale * jnp.eye(n, dtype=jnp.float32))
 
 
-@pytest.mark.parametrize("n", [1, 3, 7, 16, 24, 60, 120])
+@pytest.mark.parametrize("n", [1, 3, 7, 16, 24, 60,
+    pytest.param(120, marks=pytest.mark.slow)])
 def test_chol_inv_matches_xla(n):
     S = _spd(jax.random.PRNGKey(n), 4, n)
     L, Linv = jax.jit(chol_inv)(S)
@@ -56,6 +57,7 @@ def test_chol_inv_ill_conditioned():
     assert np.max(np.abs(err)) < 2e-3
 
 
+@pytest.mark.slow
 def test_factorize_matmul_matches_xla():
     """Full block-tridiagonal factorization equivalence at solver-like
     shapes (K=6 blocks of n=36)."""

@@ -24,6 +24,7 @@ def _small_batch(B=6):
     return res
 
 
+@pytest.mark.slow
 def test_save_load_roundtrip(tmp_path):
     res = _small_batch()
     p = tmp_path / "result.npz"
@@ -34,6 +35,7 @@ def test_save_load_roundtrip(tmp_path):
     assert load_meta(p)["n_vehicles"] == 2
 
 
+@pytest.mark.slow
 def test_chunked_resume(tmp_path):
     res = _small_batch(6)
     cfg = {"n": 2, "seed": 0}

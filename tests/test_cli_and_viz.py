@@ -6,6 +6,10 @@ from pathlib import Path
 
 import numpy as np
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_package_public_api():
     import ba_path_planning_tpu as bapp

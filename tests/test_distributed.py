@@ -22,6 +22,10 @@ from ba_path_planning_tpu.parallel.distributed import (host_local_slice,
                                                        scaling_report)
 from ba_path_planning_tpu.utils import ProblemConfig, SolverConfig
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_host_local_slice_single_process():
     lo, hi = host_local_slice(64)

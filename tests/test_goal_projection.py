@@ -110,6 +110,7 @@ def test_scp_goal_project_reaches_goal_exactly(method):
     assert vel_err < 1e-3, vel_err
 
 
+@pytest.mark.slow
 def test_compacting_driver_matches_monolithic_with_goal_project():
     """solve_compacted and the monolithic batched solve agree bit-for-bit
     with goal_project enabled (the finalize projection is pure function of

@@ -18,6 +18,7 @@ from ba_path_planning_tpu.parallel.pair_sharded import (PairShardedSCPSolver,
 from ba_path_planning_tpu.scenarios import generate_scenario
 from ba_path_planning_tpu.solvers.scp import SCPEngine
 from ba_path_planning_tpu.utils import ProblemConfig, SolverConfig
+import pytest
 
 
 def _problem(**kw):
@@ -40,6 +41,7 @@ def test_padded_pair_index_inert_pads():
     np.testing.assert_array_equal(np.asarray(pi.E[:, 15]), 0.0)
 
 
+@pytest.mark.slow
 def test_pair_sharded_matches_unsharded():
     problem = _problem()
     cfg = _solver()
@@ -62,6 +64,7 @@ def test_pair_sharded_matches_unsharded():
                                np.asarray(base.accelerations), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_pair_sharded_feasible_scenario():
     """An asymmetric crossing that needs collision iterations ends
     collision-free and matches the unsharded result.

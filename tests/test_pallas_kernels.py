@@ -11,8 +11,10 @@ from ba_path_planning_tpu.solvers.banded import (assemble_blocks, factorize,
                                                  rho_pattern, solve_factorized,
                                                  build_bounds)
 from ba_path_planning_tpu.utils import Limits, SolverConfig
+import pytest
 
 
+@pytest.mark.slow
 def test_pallas_banded_solve_matches_scan():
     N, K, h = 3, 8, 0.2
     n = 6 * N
@@ -50,6 +52,7 @@ def test_pallas_banded_solve_matches_scan():
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_scp_direct_pallas_end_to_end_interpret():
     """Full direct SCP with the Pallas solve path (interpret on CPU)."""
     from jax.experimental.pallas import tpu as pltpu
@@ -76,6 +79,7 @@ def test_scp_direct_pallas_end_to_end_interpret():
                                np.asarray(res2.positions), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_grouped_solve_matches_scan():
     """Scenario-grouped streaming kernel equals the XLA scan solve
     (interpret mode), including the batch-pad (B % G != 0) path."""
@@ -119,6 +123,7 @@ def test_grouped_solve_matches_scan():
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_scp_direct_grouped_end_to_end():
     """Full SCP with the grouped streaming solve: same trajectories as the
     plain direct path (interpret mode on CPU)."""
@@ -150,6 +155,7 @@ def test_scp_direct_grouped_end_to_end():
                                np.asarray(base.positions), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_grouped_L_solve_matches_scan():
     """L-only grouped kernel (streams half the factor bytes) equals the
     (Linv, Eb) scan solve; C slot scalars shared across the batch."""
@@ -192,6 +198,7 @@ def test_grouped_L_solve_matches_scan():
     np.testing.assert_allclose(got, np.asarray(want), atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_grouped_X_solve_matches_scan():
     """X-form grouped kernel (symmetric inverses, one matvec per step)
     equals the L-form scan solve; exact and Newton-Schulz factorizations."""
@@ -233,6 +240,7 @@ def test_grouped_X_solve_matches_scan():
                                rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_scp_direct_X_form_end_to_end():
     """Full SCP with the Newton-Schulz X-form factorization: trajectories
     match the exact L-form path within SCP tolerance (interpret on CPU)."""

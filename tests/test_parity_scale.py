@@ -25,6 +25,8 @@ from ba_path_planning_tpu.solvers.scp import SCPEngine
 from ba_path_planning_tpu.utils import ProblemConfig, SolverConfig
 from oracles import reference_math as oracle
 
+pytestmark = pytest.mark.slow
+
 
 def _tight_engine(N, K, h, R, max_iterations=15):
     problem = ProblemConfig(n_vehicles=N, time_horizon=K * h, time_step=h,

@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from ba_path_planning_tpu.scenarios.generator import (
     BOX_SIZE, CIRCLE_CENTERS, CIRCLE_RADIUS, DIAMOND_CENTER, DIAMOND_SIZE,
@@ -31,6 +32,7 @@ def test_initial_positions_on_corner_circles():
     assert np.all((init >= -0.01) & (init <= BOX_SIZE + 0.01))
 
 
+@pytest.mark.slow
 def test_final_positions_mostly_on_diamond():
     """~90% of final positions on the diamond border (position_generator.py:64)."""
     B, N = 64, 8
@@ -62,6 +64,7 @@ def test_reproducible_and_distinct():
     assert not np.allclose(np.asarray(a.initial), np.asarray(c.initial))
 
 
+@pytest.mark.slow
 def test_impossible_config_reports_failure():
     """Too many vehicles for the spacing -> ok=False, no exception in jit."""
     sc = generate_scenario(jax.random.key(3), n_vehicles=200, min_distance=2.0,
@@ -69,6 +72,7 @@ def test_impossible_config_reports_failure():
     assert not bool(sc.ok)
 
 
+@pytest.mark.slow
 def test_generate_positions_reference_api():
     init, final = generate_positions(10, min_distance=0.8, seed=42)
     assert init.shape == (10, 2) and final.shape == (10, 2)
@@ -77,6 +81,7 @@ def test_generate_positions_reference_api():
         generate_positions(500, min_distance=2.0, max_attempts=100, seed=0)
 
 
+@pytest.mark.slow
 def test_distance_analysis_summary():
     init, final = generate_positions(6, min_distance=0.5, seed=1)
     out = print_distance_analysis(init, final)

@@ -7,6 +7,7 @@ import jax.numpy as jnp
 from ba_path_planning_tpu.solvers.scp import SCPEngine, STATUS_FEASIBLE_INITIAL
 from ba_path_planning_tpu.utils import ProblemConfig, SolverConfig
 from oracles import reference_math as oracle
+import pytest
 
 
 def _crossing_scenario():
@@ -23,6 +24,7 @@ def _tight_solver():
                         cg_iters=40)
 
 
+@pytest.mark.slow
 def test_crossing_produces_collision_free_trajectories():
     p0, v0, pf, vf = _crossing_scenario()
     problem = ProblemConfig(n_vehicles=2, time_horizon=10.0, time_step=0.5,
@@ -58,6 +60,7 @@ def test_crossing_produces_collision_free_trajectories():
     assert d.min() >= problem.min_distance - 0.01
 
 
+@pytest.mark.slow
 def test_matches_oracle_scp_within_1e3():
     """Full-loop differential test vs the dense scipy oracle (SURVEY target:
     trajectories within 1e-3 at same horizon and convergence criteria)."""
@@ -94,6 +97,7 @@ def test_feasible_initial_skips_loop():
     assert bool(res.feasible_final)
 
 
+@pytest.mark.slow
 def test_batch_matches_single():
     p0, v0, pf, vf = _crossing_scenario()
     problem = ProblemConfig(n_vehicles=2, time_horizon=6.0, time_step=0.5,
@@ -125,6 +129,7 @@ def test_single_vehicle_no_pairs():
     assert int(res.iterations) == 0
 
 
+@pytest.mark.slow
 def test_feasible_stop_mode():
     """stop_mode='feasible' iterates until collision-free; on a clean
     crossing it matches or beats reference-mode feasibility."""
@@ -141,6 +146,7 @@ def test_feasible_stop_mode():
     assert int(r_feas.iterations) <= int(r_ref.iterations)
 
 
+@pytest.mark.slow
 def test_scp_class_api():
     """Reference-compatible class facade produces the same trajectories dict."""
     from ba_path_planning_tpu.solvers.scp import SCP
@@ -156,6 +162,7 @@ def test_scp_class_api():
     assert bool(planner.result.feasible_final)
 
 
+@pytest.mark.slow
 def test_reference_demo_scenario_nondefault_space():
     """A perturbed version of the reference's __main__ smoke scenario
     (scp.py:844-869): 3 vehicles crossing with asymmetric space_dims
@@ -191,6 +198,7 @@ def test_reference_demo_scenario_nondefault_space():
     assert d01 >= 0.5 - 0.01
 
 
+@pytest.mark.slow
 def test_batch_property_constraints_hold():
     """SURVEY section 5 property tests over randomized generator scenarios:
     every returned trajectory satisfies the box constraints, terminal

@@ -8,6 +8,7 @@ from ba_path_planning_tpu.parallel.mesh import ShardedSCPSolver, make_mesh
 from ba_path_planning_tpu.scenarios import generate_scenario_batch
 from ba_path_planning_tpu.solvers.scp import SCPEngine
 from ba_path_planning_tpu.utils import ProblemConfig, SolverConfig
+import pytest
 
 
 def test_mesh_has_8_devices():
@@ -15,6 +16,7 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
+@pytest.mark.slow
 def test_sharded_batch_matches_unsharded():
     problem = ProblemConfig(n_vehicles=3, time_horizon=5.0, time_step=0.5,
                             min_distance=0.8, max_iterations=8)
@@ -46,6 +48,7 @@ def test_sharded_batch_matches_unsharded():
     assert len(shard_devs) == 8
 
 
+@pytest.mark.slow
 def test_microbatched_matches_unchunked():
     problem = ProblemConfig(n_vehicles=3, time_horizon=5.0, time_step=0.5,
                             min_distance=0.8, max_iterations=8)
@@ -69,6 +72,7 @@ def test_microbatched_matches_unchunked():
                                   np.asarray(res_f.status))
 
 
+@pytest.mark.slow
 def test_compacted_matches_plain():
     """Straggler-compacted driver must produce the same trajectories and
     statuses as the monolithic batched while_loop (resume is exact: the
