@@ -1207,9 +1207,31 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
     # whole-interval fused kernel: factors resident across ALL iterations of
     # a check interval (ops/pallas/admm_fused.py); requires the standard
     # bound layout (row 0 vacuous, rows >= 1 finite) so the mask-based rho
-    # pattern IS the effective rho (no per-scenario isinf fixup)
-    use_fused = (static.fused and not use_channel and group_n == 0
-                 and factor_bytes <= 12 * 1024 * 1024)
+    # pattern IS the effective rho (no per-scenario isinf fixup).
+    # X-form residency = ONE (K, nr, npk)-padded factor array (the channel-
+    # block pair maps replace Sx/SxT with concat/split) + ~3 MB of row
+    # planes and double-buffered blocks; L-form = two (K, n, n) arrays.
+    if static.factor_form == "X":
+        # row planes and double-buffered blocks (P- and 12N-wide, ~4-5 MB
+        # at N=40/K=50) ride alongside the factor scratch in the 16 MB
+        # VMEM, so gate the padded factors at 10.5 MB (N=30/K=50 compiles
+        # at ~13 MB total; N=40 measures over budget).  When the factors
+        # do not fit, the config falls back to the grouped streaming
+        # kernel (group_n) or the XLA sweeps — one production config
+        # serves every N.
+        nr8 = -(-6 * N // 8) * 8
+        fused_ok = K * nr8 * np_ * isz <= int(10.5 * 1024 * 1024)
+        # the grouped streaming kernel amortizes its per-step issue cost
+        # over the auto group size; with a large group (small N) it beats
+        # the one-scenario-serial fused kernel (measured N=20: 1039 vs 614
+        # solves/s), while a starved group (N=30: G=9) loses to residency
+        # (163 vs 316).  Prefer fused only when the group is starved.
+        use_fused = (static.fused and not use_channel and fused_ok
+                     and (group_n == 0 or group_n < 16))
+    else:
+        fused_ok = factor_bytes <= 12 * 1024 * 1024
+        use_fused = (static.fused and not use_channel and group_n == 0
+                     and fused_ok)
 
     Ax0 = apply_A(x_init, eta, E, h)
     z0 = _tmap(jnp.clip, Ax0, lower, upper)
@@ -1231,6 +1253,23 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
         if use_channel:
             Dc, Bc = assemble_channel(rho_b, h=h, sigma=sigma)
             return rho_b, *factorize(Dc, Bc)
+        if use_fused and static.factor_form == "X":
+            # X-form fused interval: symmetric inverses + slot scalars
+            asm_prec = {"highest": None,
+                        "high": jax.lax.Precision.HIGH,
+                        "default": jax.lax.Precision.DEFAULT}[
+                static.assemble_precision]
+            D, C = assemble_D(rho_b, eta, E, h=h, sigma=sigma,
+                              n_vehicles=N, axis_name=axis_name,
+                              precision=asm_prec)
+            ns_prec = {"highest": None,
+                       "high": jax.lax.Precision.HIGH,
+                       "default": jax.lax.Precision.DEFAULT}[
+                static.ns_precision]
+            F = factorize_X(D, C, ns_iters=static.ns_iters,
+                            ns_anchor=static.ns_anchor,
+                            ns_precision=ns_prec)
+            return rho_b, F, C
         if group_n:
             # L-only form: the dense E factors are redundant (off-diagonals
             # are slot scalars) — half the factor bytes stored AND streamed
@@ -1324,26 +1363,41 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
 
     if use_fused:
         from ..ops.pallas.admm_fused import (admm_interval_fused,
-                                             bound_planes, pair_matrices,
+                                             admm_interval_fused_X,
+                                             bound_planes, eta_to_block,
+                                             pair_matrices,
+                                             pair_matrices_block,
                                              planes_to_rowvals, rho_planes,
                                              rowvals_to_planes)
-        E2, E2T, Sx, SxT = pair_matrices(N, dtype)
-        eta2 = eta.reshape(K, 2 * P)
         ls_p, _ = bound_planes(lower, -jnp.inf)
         us_p, _ = bound_planes(upper, jnp.inf)
         fpar = jnp.stack([jnp.asarray(h, dtype), jnp.asarray(sigma, dtype),
                           jnp.asarray(alpha, dtype),
                           params.col_penalty.astype(dtype)])
         ipar = jnp.reshape(params.check_interval, (1,))
+        if static.factor_form == "X":
+            E2b, E2bT = pair_matrices_block(N, dtype)
+            eta_b = eta_to_block(eta)
+        else:
+            E2, E2T, Sx, SxT = pair_matrices(N, dtype)
+            eta2 = eta.reshape(K, 2 * P)
 
         def run_interval(x, z, y, rho_b, L, Eb):
             zs, zc = rowvals_to_planes(z)
             ys, yc = rowvals_to_planes(y)
             rho_sk, rho_c = rho_planes(rho_b, _LOOSE_RHO)
-            xp, zsp, zcp, ysp, ycp = admm_interval_fused(
-                fpar, ipar, L, Eb, eta2, ls_p, us_p, lower.col,
-                to_stacked(x), zs, zc, ys, yc, rho_sk, rho_c,
-                E2, E2T, Sx, SxT)
+            if static.factor_form == "X":
+                # L = X symmetric inverses, Eb = (K-1, 3, 3) slot scalars
+                cflat = Eb.reshape(K - 1, 9).astype(dtype)
+                xp, zsp, zcp, ysp, ycp = admm_interval_fused_X(
+                    fpar, ipar, cflat, L, eta_b, ls_p, us_p, lower.col,
+                    to_stacked(x), zs, zc, ys, yc, rho_sk, rho_c,
+                    E2b, E2bT)
+            else:
+                xp, zsp, zcp, ysp, ycp = admm_interval_fused(
+                    fpar, ipar, L, Eb, eta2, ls_p, us_p, lower.col,
+                    to_stacked(x), zs, zc, ys, yc, rho_sk, rho_c,
+                    E2, E2T, Sx, SxT)
             return (from_stacked(xp.astype(dtype), N),
                     planes_to_rowvals(zsp, zcp, N, RowVals),
                     planes_to_rowvals(ysp, ycp, N, RowVals))

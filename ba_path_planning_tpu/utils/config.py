@@ -184,7 +184,8 @@ class SolverConfig:
                             assemble_precision=self.assemble_precision)
 
     @classmethod
-    def production(cls, pallas: bool | None = None) -> "SolverConfig":
+    def production(cls, pallas: bool | None = None,
+                   n_vehicles: int | None = None) -> "SolverConfig":
         """Tuned high-throughput configuration (TPU-measured, round 1):
         state-space direct solver, fused Pallas substitution kernel,
         constraint tightening that keeps eps-level noise above the true
@@ -216,11 +217,20 @@ class SolverConfig:
                 pallas = jax.default_backend() not in ("cpu",)
             except Exception:
                 pallas = False
-        return cls(method="direct", pallas=pallas, rho=2.6, max_iter=25,
-                   check_interval=25, collision_margin=0.13, polish=False,
-                   adaptive_rho=False, factor_form="X", ns_iters=2,
-                   alpha=1.9, col_rho_boost=2.5,
-                   assemble_precision="default")
+        # fused=True enables the whole-interval X-form kernel where its
+        # resident factors fit AND the grouped kernel's auto group is
+        # starved (solve_qp_state routing) — measured N=30/K=50: 163 ->
+        # 360 solves/s, N=20 unchanged (grouped path still selected).
+        cfg = cls(method="direct", pallas=pallas, fused=pallas, rho=2.6,
+                  max_iter=25, check_interval=25, collision_margin=0.13,
+                  polish=False, adaptive_rho=False, factor_form="X",
+                  ns_iters=2, alpha=1.9, col_rho_boost=2.5,
+                  assemble_precision="default")
+        if n_vehicles is not None and n_vehicles >= 25:
+            # large-N retune (r4 sweep at N=30/40): a stiffer rho cuts mean
+            # SCP re-linearizations 1.91 -> 1.74 at equal feasibility
+            cfg = cfg.replace(rho=5.2)
+        return cfg
 
     @classmethod
     def latency(cls, pallas: bool | None = None) -> "SolverConfig":

@@ -57,7 +57,8 @@ def compute_and_cache(N, seed):
         velocities=ref["velocities"], iterations=ref["iterations"],
         converged=ref["converged"], feasible_initial=ref["feasible_initial"],
         p0=p0, pf=pf, R=R, h=h, max_iterations=MAX_ITERATIONS,
-        oracle_version=ORACLE_VERSION, oracle_s=t_ref)
+        oracle_version=ORACLE_VERSION, oracle_s=t_ref,
+        x_history=ref["x_history"], rel_history=ref["rel_history"])
     print(f"cached N={N} seed={seed}: iters={ref['iterations']} "
           f"converged={ref['converged']} t={t_ref:.1f}s", flush=True)
 

@@ -17,7 +17,9 @@ def run_cfg(N, B, chunk, seeds=(100,)):
     problem = ProblemConfig(n_vehicles=N, time_horizon=10.0, time_step=0.2,
                             min_distance=0.8, max_iterations=15,
                             stop_mode="feasible")
-    sh = ShardedSCPSolver(problem, SolverConfig.production(), mesh=mesh,
+    sh = ShardedSCPSolver(problem,
+                          SolverConfig.production(n_vehicles=N),
+                          mesh=mesh,
                           dtype=jnp.float32)
     v0 = jnp.zeros((B, N, 2), jnp.float32)
 

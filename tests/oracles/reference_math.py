@@ -228,6 +228,12 @@ def scp_solve(p0, v0, pf, vf, *, R, h, K, max_iterations=15, tol=1.5e-2,
     positions, _ = rollout(a, p0, v0, h)
     feasible_initial = check_feasible(positions, R)
 
+    # per-iteration trace (iterates + relative step norms): lets a parity
+    # harness localize WHERE a divergence starts and how close each step
+    # lands to the 1.5e-2 stopping threshold (step-norm boundary cases)
+    x_history = [x.copy()]
+    rel_history = []
+
     iteration = 0
     converged = False
     while iteration < max_iterations and not converged and not feasible_initial:
@@ -242,12 +248,16 @@ def scp_solve(p0, v0, pf, vf, *, R, h, K, max_iterations=15, tol=1.5e-2,
             converged = True
         x = x_new
         iteration += 1
+        x_history.append(x.copy())
+        rel_history.append(rel)
 
     a = unflatten(x, N, K)
     positions, velocities = rollout(a, p0, v0, h)
     return dict(positions=positions, velocities=velocities, accelerations=a,
                 iterations=iteration, converged=converged,
-                feasible_initial=feasible_initial)
+                feasible_initial=feasible_initial,
+                x_history=np.asarray(x_history),
+                rel_history=np.asarray(rel_history))
 
 
 # ---------------------------------------------------------------------------

@@ -78,7 +78,7 @@ def test_pair_matrices_agree_with_einsum():
         np.asarray(jnp.repeat(s1, 2, axis=-1)), atol=1e-6)
 
 
-def _solve_pair(N, K, fused, B=3, max_iter=24, seed=3):
+def _solve_pair(N, K, fused, B=3, max_iter=24, seed=3, **cfg_kw):
     """Collision QP solved with/without the fused kernel on a random batch."""
     rng = np.random.default_rng(seed)
     h = 0.2
@@ -86,7 +86,7 @@ def _solve_pair(N, K, fused, B=3, max_iter=24, seed=3):
     P = pairs.E.shape[1]
     cfg = SolverConfig(method="direct", adaptive_rho=False, polish=False,
                        max_iter=max_iter, check_interval=max_iter // 2,
-                       rho=1.6, fused=fused)
+                       rho=1.6, fused=fused, **cfg_kw)
     params = make_solver_params(cfg, jnp.float32)
     static = cfg.static_part()
     limits = Limits()
@@ -158,3 +158,19 @@ def test_scp_direct_fused_end_to_end():
                                np.asarray(base.positions), atol=1e-3)
     np.testing.assert_array_equal(np.asarray(fused.iterations),
                                   np.asarray(base.iterations))
+
+
+def test_fused_X_interval_matches_xla_path():
+    """X-form fused kernel (symmetric inverses + slot scalars, ns_iters=0
+    exact) reproduces the plain XLA iteration path."""
+    base = _solve_pair(4, 10, fused=False)
+    fx = _solve_pair(4, 10, fused=True, factor_form="X", ns_iters=0)
+    np.testing.assert_allclose(np.asarray(fx.x.a), np.asarray(base.x.a),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(fx.x.p), np.asarray(base.x.p),
+                               atol=2e-4, rtol=1e-3)
+    for la, lb in zip(jax.tree.leaves(fx.y), jax.tree.leaves(base.y)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=5e-3, rtol=1e-2)
+    np.testing.assert_array_equal(np.asarray(fx.iters),
+                                  np.asarray(base.iters))
