@@ -67,6 +67,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "hard collision constraints (reference semantics)")
     p.add_argument("--stop-mode", choices=["feasible", "reference"],
                    default=None, help="override the SCP stopping rule")
+    p.add_argument("--resume-dir", type=str, default=None,
+                   help="checkpoint directory: chunks of scenarios are "
+                        "saved as they complete and a rerun with the same "
+                        "directory (and config) skips finished chunks — a "
+                        "killed run resumes instead of restarting "
+                        "(utils.checkpoint.ChunkedRun)")
+    p.add_argument("--resume-chunk", type=int, default=None,
+                   help="scenarios per checkpoint chunk (default "
+                        "256 x device count)")
     return p
 
 
@@ -89,7 +98,9 @@ def _merge_config(args) -> dict:
 
 
 def run_batch_for_n(n: int, cfg: dict, dtype, solver_kind: str = "production",
-                    stop_mode: str | None = None) -> list[dict]:
+                    stop_mode: str | None = None,
+                    resume_dir: str | None = None,
+                    resume_chunk: int | None = None) -> list[dict]:
     """Solve all trials for one vehicle count as a single batched program."""
     import jax
     import jax.numpy as jnp
@@ -133,17 +144,51 @@ def run_batch_for_n(n: int, cfg: dict, dtype, solver_kind: str = "production",
             check_interval=100)
     solver = ShardedSCPSolver(problem, solver_cfg, mesh=mesh, dtype=dtype)
 
-    def run():
-        out = solver.solve_compacted(sc.initial, v0, sc.final, v0, keys)
-        np.asarray(out.feasible_final)      # sync (remote tunnel)
-        return out
+    if resume_dir is not None:
+        # Chunk-granular resumable run: every chunk is persisted as it
+        # completes; a rerun with the same directory + config skips
+        # finished chunks (a config mismatch refuses).  Wall time here
+        # INCLUDES compile (persistence mode, not a benchmark mode) and
+        # is accumulated across invocations in walls.json.
+        from ..solvers.scp import SCPResult
+        from ..utils.checkpoint import ChunkedRun
+        ident = {"N": n, "trials": trials, "seed": seed,
+                 "solver": solver_kind, "stop_mode": stop_mode,
+                 **{k: cfg[k] for k in ("time_horizon", "time_step",
+                                        "min_distance", "max_iterations")}}
+        run_dir = Path(resume_dir) / f"N{n}"
+        ck = ChunkedRun(run_dir, ident)
+        chunk = resume_chunk if resume_chunk else 256 * n_dev
+        chunk = max(n_dev, (min(chunk, padded) // n_dev) * n_dev)
+        walls_path = run_dir / "walls.json"
+        walls = (json.loads(walls_path.read_text())
+                 if walls_path.exists() else {})
+        for idx, (lo, hi) in ck.pending(padded, chunk):
+            tc = time.perf_counter()
+            out = solver.solve_compacted(
+                sc.initial[lo:hi], v0[lo:hi], sc.final[lo:hi], v0[lo:hi],
+                keys[lo:hi])
+            out = jax.tree.map(np.asarray, out)
+            ck.save_chunk(idx, out)
+            walls[str(idx)] = time.perf_counter() - tc
+            walls_path.write_text(json.dumps(walls))
+            print(f"  chunk {idx}: scenarios [{lo}, {hi}) saved "
+                  f"({walls[str(idx)]:.2f} s)", flush=True)
+        res = ck.merge(SCPResult)
+        wall = float(sum(walls.values()))
+        timing = {}
+    else:
+        def run():
+            out = solver.solve_compacted(sc.initial, v0, sc.final, v0, keys)
+            np.asarray(out.feasible_final)      # sync (remote tunnel)
+            return out
 
-    # compile excluded from timing (one-time cost, reported separately)
-    run()
-    t0 = time.perf_counter()
-    res = run()
-    wall = time.perf_counter() - t0
-    timing = getattr(solver, "last_timing", {})
+        # compile excluded from timing (one-time cost, reported separately)
+        run()
+        t0 = time.perf_counter()
+        res = run()
+        wall = time.perf_counter() - t0
+        timing = getattr(solver, "last_timing", {})
 
     res = jax.tree.map(np.asarray, res)
     ok = np.asarray(sc.ok)
@@ -282,7 +327,9 @@ def main(argv=None) -> int:
     for n in cfg["Ns"]:
         print(f"==> N = {n}")
         rows = run_batch_for_n(n, cfg, dtype, solver_kind=args.solver,
-                               stop_mode=args.stop_mode)
+                               stop_mode=args.stop_mode,
+                               resume_dir=args.resume_dir,
+                               resume_chunk=args.resume_chunk)
         all_results["runs"].extend(rows)
         succ = sum(1 for r in rows if r["status"] == "success")
         mean_t = float(np.mean([r["time_sec"] for r in rows]))
