@@ -381,7 +381,13 @@ def solve_qp_admm(A: np.ndarray, l: np.ndarray, u: np.ndarray,
         low_act = (z - l <= tol_act) & (y < -1e-10) & ~eq
         upp_act = (u - z <= tol_act) & (y > 1e-10) & ~eq
         if not np.any(low_act | upp_act | eq):
-            return x, False
+            # empty active set: the optimum of min x'x is interior, i.e.
+            # x* = 0 — certifiable directly by the unconstrained KKT check
+            # (dual residual 2x ~ 0) plus strict feasibility (ADVICE r3)
+            dual_ok = np.max(np.abs(2 * x)) <= 1e-9
+            Ax = A @ x
+            feas_ok = bool(np.all(Ax >= l - 1e-9) and np.all(Ax <= u + 1e-9))
+            return x, bool(dual_ok and feas_ok)
         best, best_viol = x, np.inf
         for _ in range(rounds):
             act = low_act | upp_act | eq
