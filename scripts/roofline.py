@@ -141,7 +141,7 @@ def measure(n_vehicles: int, batch: int, reps: int) -> dict:
     fmodel = factorize_X_cost(N, K, ns_iters=static.ns_iters)
     solve_bw = batch * xmodel["hbm_bytes"] / solve_s
     fact_fl = batch * fmodel["flops"] / fact_s
-    return {
+    rec = {
         "N": N, "K": K, "batch": batch, "np": npad, "group": group_n,
         "xupdate": {
             "measured_s": solve_s,
@@ -157,6 +157,48 @@ def measure(n_vehicles: int, batch: int, reps: int) -> dict:
             "frac_of_f32_peak": fact_fl / V5E_PEAK_F32_HIGHEST_FLOPS,
         },
     }
+
+    # --- fused-interval kernel (the N>=25 route): per-ADMM-iteration cost
+    # by differencing two interval budgets on full QP solves ---
+    prod_n = SolverConfig.production(n_vehicles=N)
+    if prod_n.fused:
+        from ba_path_planning_tpu.solvers.scp import SCPEngine
+
+        def qp_time(iters, seed):
+            cfgv = prod_n.replace(max_iter=iters, check_interval=iters)
+            eng = SCPEngine(problem.replace(max_iterations=1,
+                                           stop_mode="reference"),
+                            cfgv, dtype=jnp.float32)
+            sc = generate_scenario_batch(jax.random.key(seed), batch,
+                                         n_vehicles=N, min_distance=0.8)
+            v0 = jnp.zeros_like(sc.initial)
+            keys = jax.random.split(jax.random.key(seed + 1), batch)
+            run = jax.jit(jax.vmap(eng.solve_fn()))
+            np.asarray(run(sc.initial, v0, sc.final, v0,
+                           keys).feasible_final)       # compile+warm
+            t0 = time.perf_counter()
+            sc2 = generate_scenario_batch(jax.random.key(seed + 7), batch,
+                                          n_vehicles=N, min_distance=0.8)
+            np.asarray(run(sc2.initial, v0, sc2.final, v0,
+                           keys).feasible_final)
+            return time.perf_counter() - t0
+
+        i1, i2 = 25, 75
+        t1 = qp_time(i1, 51)
+        t2 = qp_time(i2, 61)
+        per_iter_s = max(t2 - t1, 1e-9) / (i2 - i1) / batch
+        # what the same iterations would STREAM without residency
+        streamed_bytes = 2 * K * npad * npad * 4
+        rec["fused_interval"] = {
+            "per_iter_us_per_scenario": per_iter_s * 1e6,
+            "streaming_bytes_eliminated_per_iter": streamed_bytes,
+            "equiv_streaming_GBps": streamed_bytes / per_iter_s / 1e9,
+            "note": ("factors VMEM-resident across the interval; the "
+                     "recurrence is VPU-serial (2K dependent matvecs per "
+                     "iteration), not HBM-bound — equiv_streaming_GBps "
+                     "is what a streaming kernel would need to match it"),
+        }
+    return rec
 
 
 def main(argv=None) -> int:
