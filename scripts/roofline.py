@@ -187,16 +187,26 @@ def measure(n_vehicles: int, batch: int, reps: int) -> dict:
         t1 = qp_time(i1, 51)
         t2 = qp_time(i2, 61)
         per_iter_s = max(t2 - t1, 1e-9) / (i2 - i1) / batch
+        # which kernel solve_qp_state actually routes at this N (mirror of
+        # its gating: fused needs the padded factors in VMEM and a starved
+        # auto group)
+        nr8 = -(-6 * N // 8) * 8
+        fused_fits = K * nr8 * npad * isz <= int(10.5 * 1024 * 1024)
+        route = "fused" if (fused_fits and group_n < 16) else "grouped"
         # what the same iterations would STREAM without residency
         streamed_bytes = 2 * K * npad * npad * 4
-        rec["fused_interval"] = {
+        rec["per_iter_marginal"] = {
+            "route": route,
             "per_iter_us_per_scenario": per_iter_s * 1e6,
-            "streaming_bytes_eliminated_per_iter": streamed_bytes,
+            "streamed_bytes_per_iter": streamed_bytes,
             "equiv_streaming_GBps": streamed_bytes / per_iter_s / 1e9,
-            "note": ("factors VMEM-resident across the interval; the "
-                     "recurrence is VPU-serial (2K dependent matvecs per "
-                     "iteration), not HBM-bound — equiv_streaming_GBps "
-                     "is what a streaming kernel would need to match it"),
+            "note": ("marginal per-ADMM-iteration cost of the production "
+                     "route (interval-budget differencing on full QP "
+                     "solves).  route=fused holds factors VMEM-resident "
+                     "(VPU-serial recurrence, not HBM-bound): its "
+                     "equiv_streaming_GBps EXCEEDS the 819 GB/s HBM peak, "
+                     "i.e. no streaming kernel can match it.  "
+                     "route=grouped streams factors per iteration."),
         }
     return rec
 
