@@ -136,10 +136,10 @@ def run_batch_for_n(n: int, cfg: dict, dtype, solver_kind: str = "production",
 
     from ..utils.config import SolverConfig
     if solver_kind == "production":
-        solver_cfg = SolverConfig.production(n_vehicles=n)
+        solver_cfg = SolverConfig.production(problem=problem)
     else:
         # hard collision constraints, reference-style inner solver budget
-        solver_cfg = SolverConfig.production(n_vehicles=n).replace(
+        solver_cfg = SolverConfig.production(problem=problem).replace(
             collision_margin=0.0, col_penalty=float("inf"), max_iter=500,
             check_interval=100)
     solver = ShardedSCPSolver(problem, solver_cfg, mesh=mesh, dtype=dtype)

@@ -28,7 +28,8 @@ def _label_chunks(problem, n_samples, chunk, seed):
     from ..solvers.scp import SCPEngine
     from ..utils import SolverConfig
 
-    engine = SCPEngine(problem, SolverConfig.production(), dtype=jnp.float32)
+    engine = SCPEngine(problem, SolverConfig.production(problem=problem),
+                       dtype=jnp.float32)
     start, _, _ = engine.start_step_finalize_fns()
     start_b = jax.jit(jax.vmap(start))
 

@@ -185,7 +185,8 @@ class SolverConfig:
 
     @classmethod
     def production(cls, pallas: bool | None = None,
-                   n_vehicles: int | None = None) -> "SolverConfig":
+                   n_vehicles: int | None = None,
+                   problem: "ProblemConfig | None" = None) -> "SolverConfig":
         """Tuned high-throughput configuration (TPU-measured, round 1):
         state-space direct solver, fused Pallas substitution kernel,
         constraint tightening that keeps eps-level noise above the true
@@ -226,10 +227,22 @@ class SolverConfig:
                   polish=False, adaptive_rho=False, factor_form="X",
                   ns_iters=2, alpha=1.9, col_rho_boost=2.5,
                   assemble_precision="default")
+        if problem is not None and n_vehicles is None:
+            n_vehicles = problem.n_vehicles
         if n_vehicles is not None and n_vehicles >= 25:
             # large-N retune (r4 sweep at N=30/40): a stiffer rho cuts mean
             # SCP re-linearizations 1.91 -> 1.74 at equal feasibility
             cfg = cfg.replace(rho=5.2)
+        if problem is not None:
+            # the bf16-input collision-block assembly ("default") and the
+            # tuned fixed budget were validated at the benchmark horizon
+            # only (N=10..40, K=50, h=0.2, R=0.8); outside that envelope
+            # fall back to full-precision assembly (ADVICE r3)
+            in_envelope = (problem.n_steps == 50
+                           and abs(problem.time_step - 0.2) < 1e-9
+                           and abs(problem.min_distance - 0.8) < 1e-9)
+            if not in_envelope:
+                cfg = cfg.replace(assemble_precision="highest")
         return cfg
 
     @classmethod

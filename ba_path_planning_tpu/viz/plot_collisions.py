@@ -113,7 +113,7 @@ def main(argv=None):
     mesh = make_mesh()
     B = max(args.trials, mesh.devices.size)
     B += (-B) % mesh.devices.size
-    sh = ShardedSCPSolver(problem, SolverConfig.production(), mesh=mesh,
+    sh = ShardedSCPSolver(problem, SolverConfig.production(problem=problem), mesh=mesh,
                           dtype=jnp.float32)
     sc = generate_scenario_batch(jax.random.key(args.seed), B,
                                  n_vehicles=args.n_vehicles,

@@ -35,7 +35,7 @@ def main():
                             stop_mode="feasible", goal_project=True)
     # state-space direct solver (block-tridiagonal exact x-updates) with
     # constraint tightening; produces ~100% collision-free trajectories
-    solver = SolverConfig.production()
+    solver = SolverConfig.production(problem=problem)
 
     devices = jax.devices()
     n_dev = len(devices)

@@ -18,7 +18,7 @@ def run_cfg(N, B, chunk, seeds=(100,)):
                             min_distance=0.8, max_iterations=15,
                             stop_mode="feasible")
     sh = ShardedSCPSolver(problem,
-                          SolverConfig.production(n_vehicles=N),
+                          SolverConfig.production(problem=problem),
                           mesh=mesh,
                           dtype=jnp.float32)
     v0 = jnp.zeros((B, N, 2), jnp.float32)
