@@ -119,8 +119,17 @@ def scaling_report(problem: ProblemConfig,
     base = out["configs"]["1chip"]["solves_per_sec"]
     for label, rec in out["configs"].items():
         ideal = base * rec["devices"]
+        # weak-scaling efficiency vs n independent chips — meaningful on
+        # real multi-chip hardware only
         rec["scaling_efficiency"] = (rec["solves_per_sec"] / ideal
                                      if ideal else 1.0)
+        # driver-overhead metric that stays meaningful on a VIRTUAL mesh
+        # (n "devices" time-sharing fixed silicon): the program is
+        # communication-free, so total throughput must not DROP as the
+        # device count grows — retention < 1 indicates sharding-driver
+        # overhead, the thing a virtual mesh can actually measure
+        rec["throughput_retention"] = (rec["solves_per_sec"] / base
+                                       if base else 1.0)
     return out
 
 

@@ -140,14 +140,46 @@ class ShardedSCPSolver:
         # jitted call, which at three calls per compaction dispatch rivaled
         # the QP work itself.  The full carry is donated so the scatter
         # updates in place.
-        def fused(carry, jidx, si, p0, v0, pf, vf, keys):
-            cpart = jax.tree.map(lambda x: x[jidx], carry)
-            apart = jax.tree.map(lambda x: x[jidx], (p0, v0, pf, vf, keys))
-            cpart = jax.vmap(step)(cpart, *apart, cpart.it + si)
-            new = jax.tree.map(lambda f, p: f.at[jidx].set(p), carry, cpart)
-            return new, active_flags(new)
+        #
+        # Compaction is SHARD-LOCAL (shard_map): each device gathers and
+        # scatters only its own lanes, with indices the host builds per
+        # device shard — a global gather would reshard lanes across
+        # devices every round (measured 23x wall at 8 virtual devices).
+        # ``valid`` masks pad slots on devices whose active-lane count
+        # doesn't fill their chunk slice (their step result is discarded).
+        from jax import shard_map as _shard_map
+        from .pair_sharded import _NOCHECK
 
-        step_c = jax.jit(fused, out_shardings=(sh, sh), donate_argnums=0)
+        mesh_ = self.mesh
+        spec1 = P(SCENARIO_AXIS)
+
+        def _leading_spec(x):
+            return P(*((SCENARIO_AXIS,) + (None,) * (x.ndim - 1)))
+
+        def fused(carry, jidx, valid, si, p0, v0, pf, vf, keys):
+            cspec = jax.tree.map(_leading_spec, carry)
+            aspec = jax.tree.map(_leading_spec, (p0, v0, pf, vf, keys))
+
+            def local(carry_l, jidx_l, valid_l, args_l):
+                cpart = jax.tree.map(lambda x: x[jidx_l], carry_l)
+                apart = jax.tree.map(lambda x: x[jidx_l], args_l)
+                stepped = jax.vmap(step)(cpart, *apart, cpart.it + si)
+                stepped = jax.tree.map(
+                    lambda s, c: jnp.where(
+                        valid_l.reshape((-1,) + (1,) * (s.ndim - 1)), s, c),
+                    stepped, cpart)
+                new = jax.tree.map(lambda f, p: f.at[jidx_l].set(p),
+                                   carry_l, stepped)
+                return new, active_flags(new)
+
+            return _shard_map(
+                local, mesh=mesh_,
+                in_specs=(cspec, spec1, spec1, aspec),
+                out_specs=(cspec, spec1), **_NOCHECK)(
+                    carry, jidx, valid, (p0, v0, pf, vf, keys))
+
+        step_c = jax.jit(fused, static_argnames=("si",),
+                         donate_argnums=0)
 
         # tail dispatch size: late compaction rounds have few active lanes,
         # so padding them to the full chunk wastes most of the dispatch — a
@@ -191,12 +223,17 @@ class ShardedSCPSolver:
         for the whole batch (the vmapped ``while_loop`` runs until every lane
         stops; mean ~1.3 iterations but max ~3 on the benchmark workload).
         Here the loop is driven from the host at ``step_iters`` granularity:
-        after each round the still-active lanes are packed densely into as
-        few fixed-size ``chunk`` dispatches as possible, so total QP work
-        approaches ``sum(per-lane iterations)`` instead of
-        ``B * max(per-lane iterations)``.  Results are bit-identical to
-        :meth:`solve`: the resumable carry includes the global iteration
-        index that keys the degenerate-pair PRNG fold.
+        after each round each device's still-active lanes are packed
+        densely into as few fixed-size ``chunk`` dispatches as possible
+        (compaction is SHARD-LOCAL — no cross-device lane movement, so
+        the rounds are communication-free on a multi-chip mesh), and
+        total QP work approaches ``sum(per-lane iterations)`` instead of
+        ``B * max(per-lane iterations)``.  Results are semantically
+        identical to :meth:`solve` — same per-lane iteration counts,
+        statuses, and the same degenerate-pair PRNG stream (the resumable
+        carry includes the global iteration index that keys the fold);
+        float values agree to batching-width roundoff (XLA lowers
+        different vmap widths differently).
 
         Compaction-round dispatches use two fixed shapes (``chunk`` and a
         tail chunk), so the compaction loop itself never recompiles.  The
@@ -229,7 +266,9 @@ class ShardedSCPSolver:
         start_c, step_c, finalize_c, _, tail_chunk = compact
 
         args = (p0, v0, pf, vf, keys)
-        si = jnp.int32(step_iters)
+        si = int(step_iters)
+        n_dev = self.n_devices
+        B_loc = B // n_dev
 
         # phase 1 over the full batch in one dispatch (flags ride along in
         # the same dispatch — the tunnel charges a round-trip per call)
@@ -238,22 +277,43 @@ class ShardedSCPSolver:
         flags_h = np_.asarray(flags)
         t1 = time_.perf_counter()
 
-        def dispatch(idx, size):
-            if idx.size < size:        # pad by repeating active lanes
-                idx = np_.concatenate([idx, np_.resize(idx, size - idx.size)])
-            return step_c(carry, jnp.asarray(idx), si, *args)
+        def dispatch(act_slices, size):
+            # per-device local index + validity arrays (shard-local
+            # compaction): a device's pad slots repeat its OWN active
+            # lanes (idempotent duplicate scatter) or are masked invalid
+            # when the device has no active lanes this round
+            c_loc = size // n_dev
+            idx_parts, val_parts = [], []
+            for sl in act_slices:
+                if sl.size:
+                    idx_parts.append(np_.resize(sl, c_loc))
+                    val_parts.append(np_.ones(c_loc, bool))
+                else:
+                    idx_parts.append(np_.zeros(c_loc, np_.int64))
+                    val_parts.append(np_.zeros(c_loc, bool))
+            jidx = jax.device_put(
+                jnp.asarray(np_.concatenate(idx_parts), jnp.int32),
+                self.sharding)
+            valid = jax.device_put(jnp.asarray(np_.concatenate(val_parts)),
+                                   self.sharding)
+            return step_c(carry, jidx, valid, si, *args)
 
         while True:
-            active = np_.flatnonzero(flags_h)
-            if active.size == 0:
+            acts = [np_.flatnonzero(flags_h[d * B_loc:(d + 1) * B_loc])
+                    for d in range(n_dev)]
+            n_active = max(a.size for a in acts)
+            if n_active == 0:
                 break
             lo = 0
-            while lo < active.size:
-                rem = active.size - lo
-                size = chunk if rem > chunk - tail_chunk else tail_chunk
-                size = min(size, chunk)
-                carry, flags = dispatch(active[lo:lo + size], size)
-                lo += size
+            c_full = chunk // n_dev
+            c_tail = tail_chunk // n_dev
+            while lo < n_active:
+                rem = n_active - lo
+                size = chunk if rem > c_full - c_tail else tail_chunk
+                c_loc = size // n_dev
+                carry, flags = dispatch(
+                    [a[lo:lo + c_loc] for a in acts], size)
+                lo += c_loc
             flags_h = np_.asarray(flags)
         t2 = time_.perf_counter()
         # per-phase wall split for callers building per-scenario time proxies
