@@ -1194,6 +1194,10 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
     factor_bytes = 2 * K * (6 * N) ** 2 * jnp.dtype(dtype).itemsize
     isz = jnp.dtype(dtype).itemsize
     np_ = -(-6 * N // 128) * 128
+    # NOTE: the X-form solve only holds ONE double-buffered factor slot, so
+    # its VMEM budget would admit a ~2x larger group — measured SLOWER
+    # (G=18: 154 vs G=9: 163 solves/s at N=30): the bigger per-step DMA
+    # lengthens the critical-path wait more than the extra lanes amortize.
     per_g = 4 * np_ * np_ * isz + 5 * K * np_ * isz
     auto_g = max(1, min(32, (12 * 1024 * 1024) // per_g))
     if static.group > 0:

@@ -34,6 +34,11 @@ from ba_path_planning_tpu.utils import ProblemConfig, SolverConfig
 
 K, h, R = 50, 0.2, 0.8
 CASES = [(18, 42), (20, 7)]
+# run a subset (e.g. PARITY_CASES="18:42"); results MERGE into the
+# committed artifact so the two cases can run on separate cores/sessions
+if os.environ.get("PARITY_CASES"):
+    CASES = [tuple(int(v) for v in c.split(":"))
+             for c in os.environ["PARITY_CASES"].split(",")]
 # Engine QP tolerance.  Both sides must be near-EXACT per QP: the SCP
 # re-linearizations amplify per-QP solution error ~1000x at benchmark scale
 # (measured round 2: per-QP ~1e-5 at eps 1e-6 -> 1.2e-2 final).  The oracle
@@ -126,7 +131,15 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    with open("docs/parity_full.json", "w") as f:
+    # merge with any existing artifact (cases may be run separately)
+    path = "docs/parity_full.json"
+    merged = {r["N"]: r for r in rows}
+    if os.path.exists(path):
+        with open(path) as f:
+            for r in json.load(f).get("cases", []):
+                merged.setdefault(r["N"], r)
+    rows = [merged[n] for n in sorted(merged)]
+    with open(path, "w") as f:
         json.dump(dict(config=dict(K=K, h=h, R=R, max_iterations=15,
                                    tol=1.5e-2), cases=rows), f, indent=1)
     ok = all(r["within_1e3"] for r in rows)
