@@ -411,11 +411,10 @@ def solve_qp_impl(data: QPData, E: jnp.ndarray, Minv: Preconditioner, x_init,
         if static.adaptive_rho:
             ratio = jnp.sqrt(pr / jnp.maximum(dr, 1e-12))
             new_rho = jnp.clip(rho * ratio, 1e-6, 1e6)
-            # only adapt on large imbalance (OSQP: factor 5); rescale y.
+            # only adapt on large imbalance (OSQP: factor 5); y is NOT
+            # rescaled (OSQP semantics — see the banded solver's note).
             adapt = jnp.logical_or(ratio > 5.0, ratio < 0.2)
             new_rho = jnp.where(adapt, new_rho, rho)
-            scale = new_rho / rho
-            y = _tmap(lambda v: v * scale, y)
             rho = new_rho
 
         return x, z, y, rho, it + params.check_interval, prim, dual, done

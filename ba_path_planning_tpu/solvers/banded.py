@@ -1425,8 +1425,12 @@ def solve_qp_state(lower: RowVals, upper: RowVals, eta, x_init: StateVars,
             new_rho = jnp.clip(rho * ratio, 1e-6, 1e6)
             adapt = jnp.logical_or(ratio > 5.0, ratio < 0.2)
             new_rho = jnp.where(adapt, new_rho, rho)
-            scale = new_rho / rho
-            y = _tmap(lambda v_: v_ * scale, y)
+            # OSQP semantics: the (unscaled) dual y is NOT rescaled on a
+            # rho update.  The previous proportional rescale kept u = y/rho
+            # fixed instead, which at rho far from optimal pinned the z/y
+            # fixed point and STALLED benchmark-scale collision QPs
+            # (N=18 QP-1: prim 5.7e-2 after 50k iters; converges in ~1e3
+            # without the rescale — scripts/parity_diag_n18.py).
             # refactorize only when rho actually moved (lax.cond skips the
             # block-Cholesky scan otherwise — it dominates interval cost)
             fact = jax.lax.cond(adapt, lambda r: make_solver(r),

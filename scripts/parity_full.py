@@ -106,8 +106,14 @@ def main():
 
         problem = ProblemConfig(n_vehicles=N, time_horizon=K * h, time_step=h,
                                 min_distance=R, max_iterations=15)
+        # rho 1.6 fixed: at rho 0.1 the benchmark-scale collision QPs STALL
+        # (prim 5.7e-2 after 50k iterations, N=18 QP-1; adaptive rho fails
+        # to rescue it) and the polish then works from inconsistent duals —
+        # the r3 N=18 parity failure's root cause.  At rho 1.6 the same QP
+        # converges in ~1000 iterations (scripts/parity_diag_n18.py).
         cfg = SolverConfig(method="direct", eps_abs=ENGINE_EPS,
-                           eps_rel=ENGINE_EPS, polish=True,
+                           eps_rel=ENGINE_EPS, polish=True, rho=1.6,
+                           adaptive_rho=False,
                            max_iter=50000, check_interval=100)
         eng = SCPEngine(problem, cfg, dtype=jnp.float64)
         t0 = time.time()
