@@ -50,8 +50,10 @@ print("soak:", r, flush=True)
 rec["soak"] = r
 
 # N sweep on one chip (batch scaled down as pair count grows)
-for N, B, chunk in [(10, 1024, 512), (20, 1024, 512), (30, 512, 128),
-                    (40, 1024, 128)]:
+# B=2048 at N>=30: the chunked SCP rounds amortize the ~30 ms tunnel
+# dispatch cost over 4x the scenarios (N=30: 339 -> 409 solves/s)
+for N, B, chunk in [(10, 1024, 512), (20, 1024, 512), (30, 2048, 128),
+                    (40, 2048, 128)]:
     r = run_cfg(N, B, chunk)
     print("nsweep:", r, flush=True)
     rec["n_sweep"].append(r)
