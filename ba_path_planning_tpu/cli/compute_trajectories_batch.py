@@ -152,14 +152,19 @@ def run_batch_for_n(n: int, cfg: dict, dtype, solver_kind: str = "production",
         # is accumulated across invocations in walls.json.
         from ..solvers.scp import SCPResult
         from ..utils.checkpoint import ChunkedRun
+        chunk = resume_chunk if resume_chunk else 256 * n_dev
+        chunk = max(n_dev, (min(chunk, padded) // n_dev) * n_dev)
+        # chunk size, padded total and device count are part of the run
+        # identity: resuming with a different --resume-chunk or on a host
+        # with a different device count would re-chunk with different
+        # boundaries and silently duplicate/skip scenario ranges (ADVICE r4)
         ident = {"N": n, "trials": trials, "seed": seed,
                  "solver": solver_kind, "stop_mode": stop_mode,
+                 "chunk": chunk, "padded": padded, "n_dev": n_dev,
                  **{k: cfg[k] for k in ("time_horizon", "time_step",
                                         "min_distance", "max_iterations")}}
         run_dir = Path(resume_dir) / f"N{n}"
         ck = ChunkedRun(run_dir, ident)
-        chunk = resume_chunk if resume_chunk else 256 * n_dev
-        chunk = max(n_dev, (min(chunk, padded) // n_dev) * n_dev)
         walls_path = run_dir / "walls.json"
         walls = (json.loads(walls_path.read_text())
                  if walls_path.exists() else {})
@@ -174,7 +179,7 @@ def run_batch_for_n(n: int, cfg: dict, dtype, solver_kind: str = "production",
             walls_path.write_text(json.dumps(walls))
             print(f"  chunk {idx}: scenarios [{lo}, {hi}) saved "
                   f"({walls[str(idx)]:.2f} s)", flush=True)
-        res = ck.merge(SCPResult)
+        res = ck.merge(SCPResult, total=padded, chunk=chunk)
         wall = float(sum(walls.values()))
         timing = {}
     else:

@@ -668,7 +668,7 @@ def _fused_batched_X(fpar, ipar, cflat, Xf, eta_b, l_s, u_s, l_c,
             pl.BlockSpec(memory_space=pltpu.SMEM),       # fpar (4,)
             pl.BlockSpec(memory_space=pltpu.SMEM),       # ipar (1,)
             pl.BlockSpec(memory_space=pltpu.SMEM),       # cflat (K-1, 9)
-            pl.BlockSpec(memory_space=pltpu.ANY),        # X factors (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),           # X factors (HBM)
             b_spec(K, 2 * P),                            # eta (block layout)
             b_spec(K, n12), b_spec(K, n12),              # l_s, u_s
             b_spec(K, P),                                # l_c

@@ -33,6 +33,8 @@ Reference context: the reference's O(N K^2) Python rollout loops
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -86,6 +88,32 @@ def _block_prefix(a_local, axis_name):
     return s1, s2, idx
 
 
+# The jitted shard_map callables are built ONCE per (mesh, axis_name, rank)
+# and cached: jax.jit caches by function identity, so wrapping a fresh
+# closure on every call would re-trace per invocation (ADVICE r4).  All
+# value-like inputs (h, pairs, min_distance, key) are traced arguments, so
+# one cache entry serves every call with the same mesh and array ranks.
+
+@lru_cache(maxsize=None)
+def _rollout_jit(mesh: Mesh, axis_name: str, nd: int):
+    kspec = P(*([None] * (nd - 2) + [axis_name, None]))
+    rep = P()
+
+    def fn(a_loc, p0_, v0_, h):
+        K_loc = a_loc.shape[-2]
+        s1, s2, idx = _block_prefix(a_loc, axis_name)
+        t = jnp.arange(K_loc, dtype=a_loc.dtype).reshape(K_loc, 1)
+        k_glob = idx.astype(a_loc.dtype) * K_loc + t
+        p0b = p0_[..., None, :]
+        v0b = v0_[..., None, :]
+        vel = v0b + h * s1
+        pos = p0b + h * k_glob * v0b + (h * h) * (s2 - 0.5 * s1)
+        return pos, vel
+
+    return jax.jit(shard_map(fn, mesh=mesh, in_specs=(kspec, rep, rep, rep),
+                             out_specs=(kspec, kspec), **_NOCHECK))
+
+
 def rollout_ksharded(accelerations, p0, v0, h, mesh: Mesh,
                      axis_name: str = K_AXIS):
     """Dynamics rollout with the K axis sharded over ``mesh``.
@@ -98,40 +126,31 @@ def rollout_ksharded(accelerations, p0, v0, h, mesh: Mesh,
     n_sh = mesh.devices.size
     if K % n_sh != 0:
         raise ValueError(f"K={K} not divisible by {n_sh} horizon shards")
-    K_loc = K // n_sh
-    nd = accelerations.ndim
+    fn = _rollout_jit(mesh, axis_name, accelerations.ndim)
+    return fn(accelerations, p0, v0,
+              jnp.asarray(h, dtype=accelerations.dtype))
+
+
+@lru_cache(maxsize=None)
+def _feasible_jit(mesh: Mesh, axis_name: str, nd: int):
+    from ..ops.collisions import check_feasible
     kspec = P(*([None] * (nd - 2) + [axis_name, None]))
-    rep = P()
 
-    def fn(a_loc, p0_, v0_):
-        s1, s2, idx = _block_prefix(a_loc, axis_name)
-        t = jnp.arange(K_loc, dtype=a_loc.dtype).reshape(K_loc, 1)
-        k_glob = idx.astype(a_loc.dtype) * K_loc + t
-        p0b = p0_[..., None, :]
-        v0b = v0_[..., None, :]
-        vel = v0b + h * s1
-        pos = p0b + h * k_glob * v0b + (h * h) * (s2 - 0.5 * s1)
-        return pos, vel
+    def fn(pos_loc, pairs_, md):
+        ok = check_feasible(pos_loc, pairs_, md)
+        return jnp.all(jax.lax.all_gather(ok, axis_name))
 
-    return jax.jit(shard_map(fn, mesh=mesh, in_specs=(kspec, rep, rep),
-                             out_specs=(kspec, kspec),
-                             **_NOCHECK))(accelerations, p0, v0)
+    return jax.jit(shard_map(fn, mesh=mesh, in_specs=(kspec, P(), P()),
+                             out_specs=P(), **_NOCHECK))
 
 
 def check_feasible_ksharded(positions, pairs, min_distance, mesh: Mesh,
                             axis_name: str = K_AXIS):
     """Pairwise feasibility over a K-sharded trajectory: k-local distance
     checks + one boolean AND reduction (scp.py:597-615 semantics)."""
-    from ..ops.collisions import check_feasible
-    nd = positions.ndim
-    kspec = P(*([None] * (nd - 2) + [axis_name, None]))
-
-    def fn(pos_loc):
-        ok = check_feasible(pos_loc, pairs, min_distance)
-        return jnp.all(jax.lax.all_gather(ok, axis_name))
-
-    return jax.jit(shard_map(fn, mesh=mesh, in_specs=(kspec,),
-                             out_specs=P(), **_NOCHECK))(positions)
+    fn = _feasible_jit(mesh, axis_name, positions.ndim)
+    return fn(positions, pairs,
+              jnp.asarray(min_distance, dtype=positions.dtype))
 
 
 def linearize_ksharded(positions, pairs, key, mesh: Mesh,
@@ -144,15 +163,19 @@ def linearize_ksharded(positions, pairs, key, mesh: Mesh,
     pair the pseudo-random direction differs from the unsharded engine's
     at global k >= K/n_shards.  Non-degenerate pairs (everything in
     practice) agree exactly."""
+    fn = _linearize_jit(mesh, axis_name, positions.ndim)
+    return fn(positions, pairs, key)
+
+
+@lru_cache(maxsize=None)
+def _linearize_jit(mesh: Mesh, axis_name: str, nd: int):
     from ..ops.collisions import linearize
-    nd = positions.ndim
     kspec = P(*([None] * (nd - 2) + [axis_name, None]))
     eta_spec = P(axis_name, None, None)
     dist_spec = P(axis_name, None)
 
-    def fn(pos_loc):
-        return linearize(pos_loc, pairs, key)
+    def fn(pos_loc, pairs_, key_):
+        return linearize(pos_loc, pairs_, key_)
 
-    return jax.jit(shard_map(fn, mesh=mesh, in_specs=(kspec,),
-                             out_specs=(eta_spec, dist_spec),
-                             **_NOCHECK))(positions)
+    return jax.jit(shard_map(fn, mesh=mesh, in_specs=(kspec, P(), P()),
+                             out_specs=(eta_spec, dist_spec), **_NOCHECK))

@@ -85,11 +85,42 @@ class ChunkedRun:
         np.savez_compressed(tmp, **arrays)
         tmp.rename(self._chunk_path(idx))
 
-    def merge(self, result_cls):
-        """Concatenate all chunk results along the batch axis, in order."""
+    def merge(self, result_cls, total: int | None = None,
+              chunk: int | None = None):
+        """Concatenate all chunk results along the batch axis, in order.
+
+        When ``total``/``chunk`` are given (the expected scenario count and
+        chunk size of the run), the merge validates completeness: every chunk
+        index in [0, ceil(total/chunk)) must be present, no stray chunk files
+        from another layout may exist, and the merged batch length must equal
+        ``total``.  This refuses to return a silently truncated or garbled
+        batch when a run was killed before finishing or when chunk files from
+        a different chunking layout are present in the directory.
+        """
         chunks = sorted(self.dir.glob("chunk_*.npz"))
         if not chunks:
             raise FileNotFoundError(f"no chunks in {self.dir}")
+        indices = [int(c.stem.split("_")[1]) for c in chunks]
+        if total is not None and chunk is not None:
+            n_chunks = (total + chunk - 1) // chunk
+            missing = sorted(set(range(n_chunks)) - set(indices))
+            extra = sorted(set(indices) - set(range(n_chunks)))
+            if missing or extra:
+                raise ValueError(
+                    f"incomplete/inconsistent run in {self.dir}: "
+                    f"missing chunks {missing}, unexpected chunks {extra} "
+                    f"(expected {n_chunks} chunks of {chunk} for "
+                    f"{total} scenarios)")
+        elif indices != list(range(len(indices))):
+            raise ValueError(
+                f"non-contiguous chunk indices in {self.dir}: {indices}")
         loaded = [load_result(c, result_cls) for c in chunks]
-        return result_cls(*[np.concatenate([getattr(r, f) for r in loaded])
-                            for f in result_cls._fields])
+        merged = result_cls(*[np.concatenate([getattr(r, f) for r in loaded])
+                              for f in result_cls._fields])
+        if total is not None:
+            got = len(getattr(merged, result_cls._fields[0]))
+            if got != total:
+                raise ValueError(
+                    f"merged batch length {got} != expected {total} "
+                    f"(chunk files do not cover the run exactly)")
+        return merged

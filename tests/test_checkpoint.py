@@ -62,3 +62,36 @@ def test_chunked_resume(tmp_path):
     # config mismatch protection
     with pytest.raises(ValueError):
         ChunkedRun(tmp_path / "run", {"n": 3, "seed": 0})
+
+
+@pytest.mark.slow
+def test_merge_validates_completeness(tmp_path):
+    """merge(total=, chunk=) refuses incomplete or mis-chunked runs
+    (ADVICE r4: a killed run or a stray chunk layout must not produce a
+    silently truncated/garbled merged batch)."""
+    res = _small_batch(6)
+    run = ChunkedRun(tmp_path / "run", {"n": 2})
+
+    def piece(lo, hi):
+        return SCPResult(*[np.asarray(getattr(res, f))[lo:hi]
+                           for f in SCPResult._fields])
+
+    # only chunks 0 and 2 of 3 present -> missing chunk detected
+    run.save_chunk(0, piece(0, 2))
+    run.save_chunk(2, piece(4, 6))
+    with pytest.raises(ValueError, match="missing chunks \\[1\\]"):
+        run.merge(SCPResult, total=6, chunk=2)
+    # unvalidated merge also refuses: indices are non-contiguous
+    with pytest.raises(ValueError, match="non-contiguous"):
+        run.merge(SCPResult)
+
+    # complete run passes and returns exactly `total` rows
+    run.save_chunk(1, piece(2, 4))
+    merged = run.merge(SCPResult, total=6, chunk=2)
+    assert len(merged.positions) == 6
+    np.testing.assert_allclose(merged.positions, np.asarray(res.positions))
+
+    # a stray chunk from a different layout is rejected
+    run.save_chunk(3, piece(0, 2))
+    with pytest.raises(ValueError, match="unexpected chunks \\[3\\]"):
+        run.merge(SCPResult, total=6, chunk=2)
