@@ -694,7 +694,20 @@ def _fused_batched_X(fpar, ipar, cflat, Xf, eta_b, l_s, u_s, l_c,
             pltpu.VMEM((K, npk), dtype),                 # b
             pltpu.SemaphoreType.DMA,
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # v5e has 128 MB of physical VMEM; Mosaic's default scoped limit is
+        # only 16 MB, which would reject the resident factors past N~30
+        # (measured: 120 MB scratch allocates fine on-chip).  Budget the
+        # actual footprint: resident factors + sweep planes + ~2x the
+        # per-scenario revolving blocks, with slack for compiler temps.
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=min(
+                110 * 1024 * 1024,
+                int(1.3 * 4 * (K * nr * npk + 3 * K * npk
+                               + 2 * K * (2 * P + 2 * n12 + P + n
+                                          + 2 * (n12 + P))
+                               + K * (6 + P) + 4 * P * n // 3))
+                + 6 * 1024 * 1024)),
         interpret=interpret,
     )(fpar, ipar, cflat, Xf, eta_b, l_s, u_s, l_c,
       x0, zs0, zc0, ys0, yc0, rho_sk, rho_c, E2b, E2bT)

@@ -431,10 +431,11 @@ def _direct_body(p0, v0, pf, vf, key, lower_s, upper_s, *,
                             h=h, static=solver, n_vehicles=N, y_init=carry.y,
                             axis_name=axis_name)
         a_new = qp.x.a
-        if solver.polish and axis_name is None:
+        if solver.polish:
             from .banded import polish_qp_state
             a_new = polish_qp_state(lower_it, upper_s, eta, qp.x, qp.y,
-                                    pairs.E, h=h, n_vehicles=N).a
+                                    pairs.E, h=h, n_vehicles=N,
+                                    axis_name=axis_name).a
         # Divergence guard: an infeasible linearization can blow the ADMM
         # iterates up (the dual grows unboundedly).  Any valid QP solution
         # respects the acceleration box, so an iterate far outside it marks a
@@ -504,10 +505,10 @@ def _scp_start_direct(p0, v0, pf, vf, key, *, params: SolverParams,
                          static=solver, n_vehicles=N, col_enabled=False,
                          axis_name=axis_name)
     a = qp0.x.a
-    if solver.polish and axis_name is None:
+    if solver.polish:
         from .banded import polish_qp_state
         a = polish_qp_state(lower_s, upper_s, eta0, qp0.x, qp0.y, pairs.E,
-                            h=h, n_vehicles=N).a
+                            h=h, n_vehicles=N, axis_name=axis_name).a
 
     # under goal_project, "feasible" means the projected (exact-terminal)
     # initial guess is collision-free — otherwise the loop must run
