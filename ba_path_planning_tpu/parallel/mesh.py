@@ -277,11 +277,22 @@ class ShardedSCPSolver:
         flags_h = np_.asarray(flags)
         t1 = time_.perf_counter()
 
+        # fine-grained loop accounting (scaling root-cause telemetry):
+        # t_prep    host-side index build + device_put of compaction inputs
+        # t_enqueue async step dispatch calls (enqueue only)
+        # t_sync    flags device->host transfers (the loop's sync points,
+        #           so this also absorbs the dispatched compute)
+        t_prep = t_enqueue = t_sync = 0.0
+        n_rounds = n_dispatches = 0
+        lanes_dispatched = 0
+
         def dispatch(act_slices, size):
             # per-device local index + validity arrays (shard-local
             # compaction): a device's pad slots repeat its OWN active
             # lanes (idempotent duplicate scatter) or are masked invalid
             # when the device has no active lanes this round
+            nonlocal t_prep, t_enqueue, n_dispatches, lanes_dispatched
+            tp = time_.perf_counter()
             c_loc = size // n_dev
             idx_parts, val_parts = [], []
             for sl in act_slices:
@@ -296,7 +307,13 @@ class ShardedSCPSolver:
                 self.sharding)
             valid = jax.device_put(jnp.asarray(np_.concatenate(val_parts)),
                                    self.sharding)
-            return step_c(carry, jidx, valid, si, *args)
+            te = time_.perf_counter()
+            out = step_c(carry, jidx, valid, si, *args)
+            t_prep += te - tp
+            t_enqueue += time_.perf_counter() - te
+            n_dispatches += 1
+            lanes_dispatched += size
+            return out
 
         while True:
             acts = [np_.flatnonzero(flags_h[d * B_loc:(d + 1) * B_loc])
@@ -304,6 +321,7 @@ class ShardedSCPSolver:
             n_active = max(a.size for a in acts)
             if n_active == 0:
                 break
+            n_rounds += 1
             lo = 0
             c_full = chunk // n_dev
             c_tail = tail_chunk // n_dev
@@ -314,11 +332,19 @@ class ShardedSCPSolver:
                 carry, flags = dispatch(
                     [a[lo:lo + c_loc] for a in acts], size)
                 lo += c_loc
+            ts = time_.perf_counter()
             flags_h = np_.asarray(flags)
+            t_sync += time_.perf_counter() - ts
         t2 = time_.perf_counter()
         # per-phase wall split for callers building per-scenario time proxies
         # (synced on the flags transfers the loop performs anyway)
-        self.last_timing = {"phase1_s": t1 - t0, "loop_s": t2 - t1}
+        self.last_timing = {"phase1_s": t1 - t0, "loop_s": t2 - t1,
+                            "loop_prep_s": t_prep,
+                            "loop_enqueue_s": t_enqueue,
+                            "loop_sync_s": t_sync,
+                            "loop_rounds": n_rounds,
+                            "loop_dispatches": n_dispatches,
+                            "loop_lanes_dispatched": lanes_dispatched}
 
         # finalize (rollout + feasibility check) is cheap: one full-batch
         # dispatch instead of B/chunk chunked ones

@@ -226,6 +226,12 @@ class SolverConfig:
                   max_iter=25, check_interval=25, collision_margin=0.13,
                   polish=False, adaptive_rho=False, factor_form="X",
                   ns_iters=2, alpha=1.9, col_rho_boost=2.5,
+                  # NS matmuls at 3-pass bf16x3: measured residual-identical
+                  # to HIGHEST for the self-correcting NS iteration
+                  # (banded.factorize_X docstring, r4) and r5 A/B at N=40:
+                  # 239.7 -> 259.9 solves/s at equal feasibility (1024/1024)
+                  # and equal SCP iterations (2.34 vs 2.35)
+                  ns_precision="high",
                   assemble_precision="default")
         if problem is not None and n_vehicles is None:
             n_vehicles = problem.n_vehicles

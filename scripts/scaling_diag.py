@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Root-cause the strong-scaling driver overhead (VERDICT r4 weak #3).
+
+docs/scaling_v5e.json recorded wall_vs_1dev = 2.65x at 8 virtual devices
+for a FIXED 128-scenario batch, while the committed oversubscription
+control bounds the virtual-mesh floor at 1.65x — ~1.6x of sharding/
+compaction driver overhead was measured but never attributed.
+
+This script re-runs the fixed-batch sweep with the driver's fine-grained
+loop telemetry (mesh.solve_compacted ``last_timing``, r5): per-config we
+record the wall split into
+
+  phase1_s          full-batch start dispatch (incl. its flags sync)
+  loop_prep_s       host-side compaction index build + device_put
+  loop_enqueue_s    async step-dispatch enqueue calls
+  loop_sync_s       flags device->host syncs (absorb dispatched compute)
+  finalize_s        residual (finalize dispatch + transfer)
+
+and the dispatch/round counts, writing docs/scaling_diag.json.  The
+attribution question: does the extra wall at 8 devices sit in the
+DISPATCHED COMPUTE (oversubscription — expected, bounded by the control)
+or in HOST-SIDE driver work (prep/enqueue — real overhead that real chips
+would inherit)?
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+from ba_path_planning_tpu.parallel.mesh import ShardedSCPSolver, make_mesh
+from ba_path_planning_tpu.scenarios import generate_scenario_batch
+from ba_path_planning_tpu.utils import ProblemConfig, SolverConfig
+
+PROBLEM = ProblemConfig(n_vehicles=10, time_horizon=10.0, time_step=0.2,
+                        min_distance=0.8, max_iterations=15,
+                        stop_mode="feasible")
+SOLVER = SolverConfig(method="direct", polish=False, adaptive_rho=False,
+                      max_iter=25, check_interval=25, collision_margin=0.13,
+                      col_rho_boost=2.5, rho=2.6, alpha=1.9)
+B_TOTAL = int(os.environ.get("SCALING_B", "128"))
+
+
+def main():
+    out = {"batch_total": B_TOTAL, "configs": {}}
+    n = 1
+    while n <= jax.device_count():
+        mesh = make_mesh(jax.devices()[:n])
+        sh = ShardedSCPSolver(PROBLEM, SOLVER, mesh=mesh, dtype=jnp.float32)
+        v0 = jnp.zeros((B_TOTAL, PROBLEM.n_vehicles, 2), jnp.float32)
+
+        def run(s):
+            sc = generate_scenario_batch(jax.random.key(s), B_TOTAL,
+                                         n_vehicles=PROBLEM.n_vehicles,
+                                         min_distance=PROBLEM.min_distance)
+            keys = jax.random.split(jax.random.key(s + 1), B_TOTAL)
+            res = sh.solve_compacted(sc.initial, v0, sc.final, v0, keys,
+                                     chunk=B_TOTAL)
+            np.asarray(res.feasible_final)
+            return res
+
+        run(0)                               # compile
+        t0 = time.perf_counter()
+        res = run(200)
+        wall = time.perf_counter() - t0
+        lt = dict(sh.last_timing)
+        lt["wall_sec"] = wall
+        lt["finalize_s"] = wall - lt["phase1_s"] - lt["loop_s"]
+        lt["collision_free_frac"] = float(
+            np.asarray(res.feasible_final).mean())
+        out["configs"][f"{n}dev"] = lt
+        print(f"{n}dev: wall={wall:.3f}s  phase1={lt['phase1_s']:.3f} "
+              f"loop={lt['loop_s']:.3f} (prep={lt['loop_prep_s']:.3f} "
+              f"enqueue={lt['loop_enqueue_s']:.3f} "
+              f"sync={lt['loop_sync_s']:.3f}) "
+              f"fin={lt['finalize_s']:.3f} "
+              f"rounds={lt['loop_rounds']} disp={lt['loop_dispatches']} "
+              f"lanes={lt['loop_lanes_dispatched']}", flush=True)
+        n *= 2
+
+    base = out["configs"]["1dev"]["wall_sec"]
+    for rec in out["configs"].values():
+        rec["wall_vs_1dev"] = rec["wall_sec"] / base
+    with open("docs/scaling_diag.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote docs/scaling_diag.json")
+
+
+if __name__ == "__main__":
+    main()
