@@ -198,21 +198,37 @@ def check_feasible(positions: np.ndarray, R: float) -> bool:
 def scp_solve(p0, v0, pf, vf, *, R, h, K, max_iterations=15, tol=1.5e-2,
               vel_min=-2.0, vel_max=2.0, acc_min=-15.0, acc_max=15.0,
               jerk_min=-20.0, jerk_max=20.0, pos_min=(0.0, 0.0),
-              pos_max=(20.0, 20.0), qp_tol=1e-10, qp_solver="trust-constr"):
+              pos_max=(20.0, 20.0), qp_tol=1e-10, qp_solver="trust-constr",
+              candidates=None):
     """Oracle SCP: dense matrices + scipy QP, reference control flow.
 
     ``qp_solver``: "trust-constr" (slow, small problems) or "admm" (dense
     float64 OSQP-semantics ADMM + polish; benchmark-scale problems).
     Returns dict with positions/velocities/accelerations (N,K,2), iterations,
     converged, feasible_initial.
+
+    ``candidates``: optional list of flat R^{2NK} warm candidates, indexed by
+    QP number (0 = static QP, k = the k-th collision iteration's QP).  Each
+    is handed to :func:`solve_qp_admm` as an optimality *candidate*: the
+    oracle's own active-set refinement either CERTIFIES it as the unique QP
+    optimum (primal feasibility <= 1e-9 + multiplier signs, computed
+    entirely by this module's numpy code) or discards it and solves from
+    scratch.  Correctness is independent of where a candidate came from —
+    the certificate is candidate-agnostic — but a near-optimal candidate
+    (e.g. the engine's own polished iterate) turns a multi-hour ADMM run
+    into minutes.  The oracle still builds each linearization from ITS OWN
+    previous certified solution, so the SCP path being compared remains the
+    oracle's.
     """
     if qp_solver == "admm":
         # the active-set polish supplies machine precision; ADMM only needs
         # to identify the active set, so 1e-6 residuals suffice
-        def solve(A, l, u, x0=None, tol=qp_tol):
-            return solve_qp_admm(A, l, u, x0, eps=max(tol, 1e-6))
+        def solve(A, l, u, x0=None, tol=qp_tol, candidate=None):
+            return solve_qp_admm(A, l, u, x0, eps=max(tol, 1e-6),
+                                 candidate=candidate)
     else:
-        solve = solve_qp
+        def solve(A, l, u, x0=None, tol=qp_tol, candidate=None):
+            return solve_qp(A, l, u, x0, tol=tol)
     N = p0.shape[0]
     mats = static_dense_matrices(N, K, h)
     lo, up = static_bounds(p0, v0, pf, vf, K=K, h=h, vel_min=vel_min,
@@ -223,7 +239,12 @@ def scp_solve(p0, v0, pf, vf, *, R, h, K, max_iterations=15, tol=1.5e-2,
     l_s = np.concatenate([lo[k].reshape(-1) for k in ("jerk", "acc", "vel", "pos")])
     u_s = np.concatenate([up[k].reshape(-1) for k in ("jerk", "acc", "vel", "pos")])
 
-    x = solve(A_s, l_s, u_s, tol=qp_tol)
+    def cand(i):
+        if candidates is None or i >= len(candidates):
+            return None
+        return candidates[i]
+
+    x = solve(A_s, l_s, u_s, tol=qp_tol, candidate=cand(0))
     a = unflatten(x, N, K)
     positions, _ = rollout(a, p0, v0, h)
     feasible_initial = check_feasible(positions, R)
@@ -242,7 +263,8 @@ def scp_solve(p0, v0, pf, vf, *, R, h, K, max_iterations=15, tol=1.5e-2,
         A = np.vstack([A_s, A_c])
         l = np.concatenate([l_s, l_c])
         u = np.concatenate([u_s, np.full(len(l_c), np.inf)])
-        x_new = solve(A, l, u, x0=x, tol=qp_tol)
+        x_new = solve(A, l, u, x0=x, tol=qp_tol,
+                      candidate=cand(iteration + 1))
         rel = np.linalg.norm(x_new - x) / np.linalg.norm(x)
         if rel <= tol:
             converged = True
@@ -291,7 +313,8 @@ def solve_qp_admm(A: np.ndarray, l: np.ndarray, u: np.ndarray,
                   x0: np.ndarray | None = None, *, rho: float = 0.1,
                   sigma: float = 1e-6, alpha: float = 1.6,
                   eps: float = 1e-6, max_iter: int = 50000,
-                  polish: bool = True) -> np.ndarray:
+                  polish: bool = True,
+                  candidate: np.ndarray | None = None) -> np.ndarray:
     """min x'x s.t. l <= Ax <= u, unique optimum (P = 2I, scp.py:329/407).
 
     ADMM exactly in OSQP's form (the reference's backend, scp.py:326-365):
@@ -374,12 +397,23 @@ def solve_qp_admm(A: np.ndarray, l: np.ndarray, u: np.ndarray,
         x_p = A_act.T @ lam
         return x_p, lam
 
-    def refine(x, z, y, rounds=20):
-        """Active-set refinement: returns (x_certified_or_best, certified)."""
+    def refine(x, z, y, rounds=20, init_sets=None):
+        """Active-set refinement: returns (x_certified_or_best, certified).
+
+        ``init_sets``: optional (low_act, upp_act) seed masks — used by the
+        candidate fast path, whose active-set guess comes from primal
+        proximity instead of ADMM dual signs.  The drop/add repair loop is
+        identical either way, as is the certificate.
+        """
         sign_tol = 1e-9
-        tol_act = 1e-7 * max(1.0, np.max(np.abs(z)))
-        low_act = (z - l <= tol_act) & (y < -1e-10) & ~eq
-        upp_act = (u - z <= tol_act) & (y > 1e-10) & ~eq
+        if init_sets is not None:
+            low_act, upp_act = init_sets
+            low_act = low_act & ~eq
+            upp_act = upp_act & ~eq
+        else:
+            tol_act = 1e-7 * max(1.0, np.max(np.abs(z)))
+            low_act = (z - l <= tol_act) & (y < -1e-10) & ~eq
+            upp_act = (u - z <= tol_act) & (y > 1e-10) & ~eq
         if not np.any(low_act | upp_act | eq):
             # empty active set: the optimum of min x'x is interior, i.e.
             # x* = 0 — certifiable directly by the unconstrained KKT check
@@ -394,13 +428,20 @@ def solve_qp_admm(A: np.ndarray, l: np.ndarray, u: np.ndarray,
             if not np.any(act):
                 break
             x_pol, lam = solve_minnorm(act, upp_act)
-            # multipliers of min x'x s.t. A_act x = b: x = A_act' lam; the
-            # KKT stationarity 2x - A' y = 0 gives y_act = 2 lam; a
-            # lower-bound row needs lam < 0, an upper-bound row lam > 0
+            # multipliers of min x'x s.t. A_act x = b: x = A_act' lam, so
+            # OSQP's stationarity 2x + A'y = 0 gives y_act = -2 lam.  OSQP's
+            # cone is y <= 0 on lower-active rows and y >= 0 on upper-active
+            # rows, hence a lower-bound row needs lam > 0 and an upper-bound
+            # row lam < 0 (1-D check: min x^2 s.t. x >= 1 has x = A'lam with
+            # lam = 1 > 0).  r5 fix: these drop rules were inverted, so any
+            # QP with an active inequality row failed certification and fell
+            # through to the best-verified-candidate path — the returned
+            # point was still the round-0 exact min-norm solve on the
+            # correct active set, but the KKT certificate never fired.
             lam_full = np.zeros(m)
             lam_full[act] = lam
-            drop_low = low_act & (lam_full > sign_tol)
-            drop_upp = upp_act & (lam_full < -sign_tol)
+            drop_low = low_act & (lam_full < -sign_tol)
+            drop_upp = upp_act & (lam_full > sign_tol)
             r_low = l - A @ x_pol
             r_upp = A @ x_pol - u
             viol = max(np.max(r_low, initial=0.0), np.max(r_upp, initial=0.0))
@@ -415,6 +456,35 @@ def solve_qp_admm(A: np.ndarray, l: np.ndarray, u: np.ndarray,
             low_act = (low_act & ~drop_low) | add_low
             upp_act = (upp_act & ~drop_upp) | add_upp
         return (best if best_viol <= 1e-6 else x), False
+
+    if candidate is not None and polish:
+        # Candidate fast path: certify-or-discard.  The active set is seeded
+        # from primal proximity of the candidate (each near-boundary row is
+        # assigned to its NEARER bound; structurally-zero rows, which cannot
+        # constrain x, are excluded), then the standard drop/add refinement
+        # runs to the same KKT certificate as the ADMM path.  A wrong
+        # candidate simply fails to certify and costs a few dense solves.
+        x_c = np.asarray(candidate, dtype=np.float64)
+        Ax_c = A @ x_c
+        nz_row = np.max(np.abs(A), axis=1) > 1e-12
+        tol_c = 1e-6 * max(1.0, np.max(np.abs(Ax_c)))
+        d_lo = Ax_c - l
+        d_up = u - Ax_c
+        low_c = (d_lo <= tol_c) & (d_lo <= d_up) & nz_row
+        upp_c = (d_up <= tol_c) & (d_up < d_lo) & nz_row
+        z_c = np.clip(Ax_c, l, u)
+        x_ref, certified = refine(x_c, z_c, None, rounds=60,
+                                  init_sets=(low_c, upp_c))
+        if certified:
+            solve_qp_admm.stats["candidate_certified"] += 1
+            return x_ref
+        solve_qp_admm.stats["candidate_failed"] += 1
+        import sys as _sys
+        print("solve_qp_admm: candidate failed certification; "
+              "falling back to ADMM", file=_sys.stderr, flush=True)
+        if x0 is None:
+            x = x_c.copy()
+            z = np.clip(A @ x, l, u)
 
     budget = max_iter
     x, z, y = admm_continue(x, z, y, eps, budget)
@@ -435,3 +505,6 @@ def solve_qp_admm(A: np.ndarray, l: np.ndarray, u: np.ndarray,
           f"{eps_stage:g}; returning best verified candidate",
           file=_sys.stderr)
     return x_ref
+
+
+solve_qp_admm.stats = {"candidate_certified": 0, "candidate_failed": 0}
