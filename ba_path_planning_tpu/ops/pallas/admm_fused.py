@@ -634,9 +634,225 @@ def eta_to_block(eta):
     return jnp.concatenate([eta[..., 0], eta[..., 1]], axis=-1)
 
 
+def _admm_kernel_XG(
+        # scalar params (SMEM)
+        fpar_ref, ipar_ref, c_ref,
+        # per-scenario tensors (blocks carry a leading G axis)
+        xf_hbm,                    # (B, K, nr, npk) symmetric inverses, HBM
+        eta2_ref,                  # (G, K, 2P) channel-BLOCK eta
+        ls_ref, us_ref,            # (G, K, 12N)
+        lc_ref,                    # (G, K, P)
+        x0_ref, zs0_ref, zc0_ref, ys0_ref, yc0_ref,
+        # shared tensors
+        rsk_ref, rc_ref,
+        e2_ref, e2t_ref,
+        # outputs
+        x_ref, zs_ref, zc_ref, ys_ref, yc_ref,
+        # scratch: G factor slabs, G fwd/xt/b sweep planes, G DMA sems
+        *scr, G: int):
+    """G-scenario-interleaved variant of :func:`_admm_kernel_X`.
+
+    The per-scenario kernel's substitution sweeps issue one small
+    (1, n) x (n, npk) matvec per k step — a serial chain that leaves the
+    MXU pipeline mostly empty (measured ~0.6 us per step at N=40, far
+    above the arithmetic floor).  Interleaving G independent scenarios per
+    grid step issues G dependency-free matvecs back-to-back at every k,
+    exactly the pipeline-filling trick of the NS-chain factorization
+    kernel (ops/pallas/ns_chain.py).  All elementwise phases run per-g on
+    the same (K, .) planes as the one-scenario kernel, so the ADMM
+    semantics are identical — only the issue order changes.
+    """
+    xf_l = scr[0:G]
+    wsw_l = scr[G:2 * G]
+    xt_l = scr[2 * G:3 * G]
+    bsc_l = scr[3 * G:4 * G]
+    sem_l = scr[4 * G:5 * G]
+
+    K, n = x0_ref.shape[1], x0_ref.shape[2]
+    n2 = n // 3
+    npk = wsw_l[0].shape[1]
+    nrs = xf_l[0].shape[1]
+    P = lc_ref.shape[2]
+    h = fpar_ref[0]
+    sigma = fpar_ref[1]
+    alpha = fpar_ref[2]
+    lam = fpar_ref[3]
+    n_iters = ipar_ref[0]
+
+    # factors -> VMEM once per scenario; the G copies overlap
+    i = pl.program_id(0)
+    cps = [pltpu.make_async_copy(xf_hbm.at[i * G + g], xf_l[g], sem_l[g])
+           for g in range(G)]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    for g in range(G):
+        x_ref[g] = x0_ref[g]
+        zs_ref[g] = zs0_ref[g]
+        zc_ref[g] = zc0_ref[g]
+        ys_ref[g] = ys0_ref[g]
+        yc_ref[g] = yc0_ref[g]
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+    not_last = (row < K - 1).astype(x0_ref.dtype)
+
+    rho_blk = [jnp.broadcast_to(rsk_ref[:, s:s + 1], (K, n2))
+               for s in range(6)]
+    rho_s = jnp.concatenate(rho_blk, axis=-1)
+    rho_c = rc_ref[:]
+
+    def shift_down(M):
+        r = pltpu.roll(M, 1, 0)
+        return jnp.where(row > 0, r, jnp.zeros_like(r))
+
+    def shift_up(M):
+        r = pltpu.roll(M, K - 1, 0)
+        return jnp.where(row < K - 1, r, jnp.zeros_like(r))
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    def _pad_nr(parts):
+        if npk > n:
+            parts = parts + [jnp.zeros((1, npk - n), parts[0].dtype)]
+        return jnp.concatenate(parts, axis=-1)
+
+    def b_apply(k, w):
+        wa, wp, wv = w[:, 0:n2], w[:, n2:2 * n2], w[:, 2 * n2:n]
+        c = lambda j: c_ref[k - 1, j]
+        return _pad_nr(
+            [c(0) * wa + c(1) * wp + c(2) * wv,
+             c(4) * wp + c(5) * wv,
+             c(8) * wv])
+
+    def b_apply_t(k, v):
+        va, vp, vv = v[:, 0:n2], v[:, n2:2 * n2], v[:, 2 * n2:n]
+        c = lambda j: c_ref[k - 1, j]
+        return _pad_nr(
+            [c(0) * va,
+             c(1) * va + c(4) * vp,
+             c(2) * va + c(5) * vp + c(8) * vv])
+
+    def mv2(M, t):
+        r = jnp.sum(M * t, axis=1)[None]
+        if npk > nrs:
+            r = jnp.concatenate(
+                [r, jnp.zeros((1, npk - nrs), r.dtype)], axis=-1)
+        return r
+
+    def body(it, _):
+        # ---- b = A^T (rho z - y) + sigma x, per scenario
+        for g in range(G):
+            x = x_ref[g]
+            zs = zs_ref[g]
+            zc = zc_ref[g]
+            ys = ys_ref[g]
+            yc = yc_ref[g]
+            rzs = rho_s * zs - ys
+            rzc = rho_c * zc - yc
+            dyn_p = rzs[:, 0 * n2:1 * n2]
+            dyn_v = rzs[:, 1 * n2:2 * n2]
+            jrk = rzs[:, 2 * n2:3 * n2] * not_last
+            acc = rzs[:, 3 * n2:4 * n2]
+            vbx = rzs[:, 4 * n2:5 * n2]
+            pbx = rzs[:, 5 * n2:6 * n2]
+            a_adj = (-0.5 * h * h) * dyn_p - h * dyn_v \
+                + (shift_down(jrk) - jrk) / h + acc
+            dp_next = shift_up(dyn_p)
+            dv_next = shift_up(dyn_v)
+            w2 = jnp.concatenate([rzc, rzc], axis=-1) * eta2_ref[g]
+            col_adj = dot(shift_up(w2), e2t_ref[:])
+            p_adj = dyn_p - dp_next + pbx + col_adj
+            v_adj = -h * dp_next + dyn_v - dv_next + vbx
+            parts = [jnp.concatenate([a_adj, p_adj, v_adj], axis=-1)
+                     + sigma * x]
+            if npk > n:
+                parts.append(jnp.zeros((K, npk - n), x.dtype))
+            bsc_l[g][:] = jnp.concatenate(parts, axis=-1)
+
+        # ---- substitution sweeps: G independent chains interleaved per k
+        for g in range(G):
+            wsw_l[g][pl.ds(0, 1), :] = mv2(xf_l[g][0],
+                                           bsc_l[g][pl.ds(0, 1), :])
+
+        def fwd(k, _):
+            for g in range(G):
+                t = bsc_l[g][pl.ds(k, 1), :] \
+                    - b_apply(k, wsw_l[g][pl.ds(k - 1, 1), :])
+                wsw_l[g][pl.ds(k, 1), :] = mv2(xf_l[g][k], t)
+            return 0
+
+        jax.lax.fori_loop(1, K, fwd, 0)
+        for g in range(G):
+            xt_l[g][pl.ds(K - 1, 1), :] = wsw_l[g][pl.ds(K - 1, 1), :]
+
+        def bwd(j, _):
+            k = K - 2 - j
+            for g in range(G):
+                t = b_apply_t(k + 1, xt_l[g][pl.ds(k + 1, 1), :])
+                xt_l[g][pl.ds(k, 1), :] = wsw_l[g][pl.ds(k, 1), :] \
+                    - mv2(xf_l[g][k], t)
+            return 0
+
+        jax.lax.fori_loop(0, K - 1, bwd, 0)
+
+        # ---- relaxation + z/y proximal updates, per scenario
+        for g in range(G):
+            x = x_ref[g]
+            zs = zs_ref[g]
+            zc = zc_ref[g]
+            ys = ys_ref[g]
+            yc = yc_ref[g]
+            xtv = xt_l[g][:][:, 0:n]
+            x_ref[g] = alpha * xtv + (1.0 - alpha) * x
+            at = xtv[:, 0 * n2:1 * n2]
+            pt = xtv[:, 1 * n2:2 * n2]
+            vt = xtv[:, 2 * n2:3 * n2]
+            ax_dyn_p = pt - shift_down(pt) - h * shift_down(vt) \
+                - (0.5 * h * h) * at
+            ax_dyn_v = vt - shift_down(vt) - h * at
+            ax_jerk = (shift_up(at) - at) / h * not_last
+            axs = jnp.concatenate(
+                [ax_dyn_p, ax_dyn_v, ax_jerk, at, vt, pt], axis=-1)
+            dpf = dot(pt, e2_ref[:])
+            u2 = eta2_ref[g] * shift_down(dpf)
+            colv = u2[:, :P] + u2[:, P:]
+            zrel_s = alpha * axs + (1.0 - alpha) * zs
+            zrel_c = alpha * colv + (1.0 - alpha) * zc
+            zns = jnp.clip(zrel_s + ys / rho_s, ls_ref[g], us_ref[g])
+            w = zrel_c + yc / rho_c
+            znc = jnp.where(w >= lc_ref[g], w,
+                            jnp.minimum(w + lam / rho_c, lc_ref[g]))
+            zs_ref[g] = zns
+            zc_ref[g] = znc
+            ys_ref[g] = ys + rho_s * (zrel_s - zns)
+            yc_ref[g] = yc + rho_c * (zrel_c - znc)
+        return 0
+
+    jax.lax.fori_loop(0, n_iters, body, 0)
+
+
+def _pick_fused_group(B, K, nr, npk, n12, P, n, itemsize=4):
+    """Largest G in {8, 6, 4, 3, 2} whose G resident factor slabs + sweep
+    planes + elementwise temps fit the fused kernel's VMEM budget AND that
+    divides B (no padded grid work); 1 if none fits/divides."""
+    factor = K * nr * npk * itemsize
+    sweeps = 3 * K * npk * itemsize
+    temps = 2 * K * (2 * P + 2 * n12 + P + n + 2 * (n12 + P)) * itemsize
+    budget = 100 * 1024 * 1024
+    for g in (8, 6, 4, 3, 2):
+        if B % g == 0 and g * (factor + sweeps + temps) + factor // 4 \
+                <= budget:
+            return g
+    return 1
+
+
 def _fused_batched_X(fpar, ipar, cflat, Xf, eta_b, l_s, u_s, l_c,
                      x0, zs0, zc0, ys0, yc0, rho_sk, rho_c,
-                     E2b, E2bT, *, interpret=False):
+                     E2b, E2bT, *, interpret=False, group=None):
     B, K, n, _ = Xf.shape
     P = l_c.shape[-1]
     n12 = l_s.shape[-1]
@@ -651,15 +867,65 @@ def _fused_batched_X(fpar, ipar, cflat, Xf, eta_b, l_s, u_s, l_c,
     if nr > n or npk > n:
         Xf = jnp.pad(Xf, [(0, 0), (0, 0), (0, nr - n), (0, npk - n)])
 
+    G = _pick_fused_group(B, K, nr, npk, n12, P, n) if group is None \
+        else int(group)
+
     def b_spec(*shape):
         nd = len(shape)
-        return pl.BlockSpec((1,) + shape, lambda i, nd=nd: (i,) + (0,) * nd,
+        return pl.BlockSpec((G,) + shape, lambda i, nd=nd: (i,) + (0,) * nd,
                             memory_space=pltpu.VMEM)
 
     def shared_spec(*shape):
         nd = len(shape)
         return pl.BlockSpec(shape, lambda i, nd=nd: (0,) * nd,
                             memory_space=pltpu.VMEM)
+
+    if G > 1:
+        out = pl.pallas_call(
+            functools.partial(_admm_kernel_XG, G=G),
+            grid=(B // G,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # fpar (4,)
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # ipar (1,)
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # cflat (K-1, 9)
+                pl.BlockSpec(memory_space=pl.ANY),       # X factors (HBM)
+                b_spec(K, 2 * P),                        # eta (block layout)
+                b_spec(K, n12), b_spec(K, n12),          # l_s, u_s
+                b_spec(K, P),                            # l_c
+                b_spec(K, n),                            # x0
+                b_spec(K, n12), b_spec(K, P),            # zs0, zc0
+                b_spec(K, n12), b_spec(K, P),            # ys0, yc0
+                shared_spec(K, 6),                       # rho_sk
+                shared_spec(K, P),                       # rho_c
+                shared_spec(n // 3, 2 * P),              # E2b  (2N, 2P)
+                shared_spec(2 * P, n // 3),              # E2bT
+            ],
+            out_specs=(b_spec(K, n), b_spec(K, n12), b_spec(K, P),
+                       b_spec(K, n12), b_spec(K, P)),
+            out_shape=(jax.ShapeDtypeStruct((B, K, n), dtype),
+                       jax.ShapeDtypeStruct((B, K, n12), dtype),
+                       jax.ShapeDtypeStruct((B, K, P), dtype),
+                       jax.ShapeDtypeStruct((B, K, n12), dtype),
+                       jax.ShapeDtypeStruct((B, K, P), dtype)),
+            scratch_shapes=(
+                [pltpu.VMEM((K, nr, npk), Xf.dtype)] * G     # factors
+                + [pltpu.VMEM((K, npk), dtype)] * G          # fwd-sweep w
+                + [pltpu.VMEM((K, npk), dtype)] * G          # x tilde
+                + [pltpu.VMEM((K, npk), dtype)] * G          # b
+                + [pltpu.SemaphoreType.DMA] * G),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=min(
+                    120 * 1024 * 1024,
+                    int(1.3 * 4 * G * (K * nr * npk + 3 * K * npk
+                                       + 2 * K * (2 * P + 2 * n12 + P + n
+                                                  + 2 * (n12 + P))))
+                    + 4 * (K * (6 + P) + 4 * P * n // 3)
+                    + 6 * 1024 * 1024)),
+            interpret=interpret,
+        )(fpar, ipar, cflat, Xf, eta_b, l_s, u_s, l_c,
+          x0, zs0, zc0, ys0, yc0, rho_sk, rho_c, E2b, E2bT)
+        return out
 
     out = pl.pallas_call(
         _admm_kernel_X,

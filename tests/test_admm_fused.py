@@ -174,3 +174,39 @@ def test_fused_X_interval_matches_xla_path():
                                    atol=5e-3, rtol=1e-2)
     np.testing.assert_array_equal(np.asarray(fx.iters),
                                   np.asarray(base.iters))
+
+
+@pytest.mark.slow
+def test_fused_XG_interleaved_matches_single_scenario_kernel():
+    """The G-scenario-interleaved X-form kernel (r5) is an issue-order
+    change only: forcing group=2/group=4 on the same batch must reproduce
+    the one-scenario-per-grid-step kernel's iterates exactly (interpret
+    mode runs both paths with identical per-scenario op order)."""
+    import functools
+    from ba_path_planning_tpu.ops.pallas import admm_fused as af
+
+    orig = af._fused_batched_X
+
+    def run(group):
+        def patched(*args, **kw):
+            kw["group"] = group
+            return orig(*args, **kw)
+        af._fused_batched_X = patched
+        # rebuild the custom_vmap wrappers' captured function by calling
+        # through _solve_pair, which routes via admm_interval_fused_X ->
+        # module-level _fused_batched_X at trace time
+        try:
+            return _solve_pair(4, 10, fused=True, factor_form="X",
+                               ns_iters=0, B=4)
+        finally:
+            af._fused_batched_X = orig
+
+    base = run(1)
+    for g in (2, 4):
+        inter = run(g)
+        np.testing.assert_allclose(np.asarray(inter.x.a),
+                                   np.asarray(base.x.a), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(inter.x.p),
+                                   np.asarray(base.x.p), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(inter.iters),
+                                      np.asarray(base.iters))
